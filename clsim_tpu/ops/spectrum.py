@@ -1,0 +1,165 @@
+"""Cherenkov spectrum, wavelength-bias importance sampling, and the
+Frank-Tamm photon yield integral.
+
+This implements the reference's central wavelength-bias contract
+(SURVEY.md section 2.5): photon wavelengths are drawn from the bias-weighted
+Cherenkov spectrum bias(lambda) * dN/dlambda, the step yield is the
+bias-weighted Frank-Tamm integral, and at detection the recorded weight is
+step.weight / bias(lambda) (propagation_kernel.c.cl:370).
+
+The sampler is a linear-interpolated inverse-CDF table exactly like the
+reference's I3CLSimRandomValueInterpolatedDistribution built by
+makeCherenkovWavelengthGenerator (private/clsim/I3CLSimModuleHelper.cxx:176-300).
+All tables are differentiable w.r.t. the underlying medium / bias parameters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import TWO_PI_OVER_137
+from ..medium import functions as F
+from .samplers import build_interpolated_dist, sample_interpolated_dist
+
+
+def cherenkov_yield_density(ref_index: F.RefIndexParams, wlen_nm, beta=1.0):
+    """dN/(dx dlambda) up to units: 2*pi*alpha_fs * (1 - 1/(beta n)^2)/lambda^2,
+    with lambda in nm the result is photons/(m nm) after the 1e9 nm->m factor
+    (reference I3CLSimModuleHelper.cxx:52-63)."""
+    n = F.phase_ref_index(ref_index, wlen_nm)
+    return TWO_PI_OVER_137 * (1.0 - 1.0 / (beta * n) ** 2) * 1e9 / (wlen_nm * wlen_nm)
+
+
+def photons_per_meter(ref_index: F.RefIndexParams,
+                      bias_wlen_nm, bias_values,
+                      min_wlen_nm: float, max_wlen_nm: float,
+                      n_points: int = 1024):
+    """Bias-weighted Frank-Tamm integral: number of Cherenkov photons emitted
+    per meter of beta=1 track, counting only bias-sampled photons.
+
+    Equivalent of NumberOfPhotonsPerMeter
+    (private/clsim/I3CLSimLightSourceToStepConverterUtils.cxx:71-106) but as a
+    differentiable trapezoid quadrature instead of GSL QAG.  `bias_wlen_nm`/
+    `bias_values` give the bias curve as a table (linearly interpolated); pass
+    bias_values=None for an unbiased yield.
+    """
+    wl = jnp.linspace(min_wlen_nm, max_wlen_nm, n_points)
+    dens = cherenkov_yield_density(ref_index, wl)
+    if bias_values is not None:
+        bias = jnp.interp(wl, jnp.asarray(bias_wlen_nm), jnp.asarray(bias_values))
+        dens = dens * bias
+    return jnp.trapezoid(dens, wl)
+
+
+class WavelengthSpectrum(NamedTuple):
+    """Inverse-CDF sampling tables for one emission spectrum, plus the bias
+    curve needed to unweight at detection."""
+    x: jnp.ndarray       # (n,) wavelengths [nm]
+    acu: jnp.ndarray     # (n,) normalized CDF
+    beta: jnp.ndarray    # (n,) normalized density
+    bias_x: jnp.ndarray  # bias table for getWavelengthBias(lambda)
+    bias_y: jnp.ndarray
+
+
+def make_cherenkov_spectrum(ref_index: F.RefIndexParams,
+                            min_wlen_nm: float, max_wlen_nm: float,
+                            bias_wlen_nm=None, bias_values=None,
+                            step_nm: float = 10.0) -> WavelengthSpectrum:
+    """Build the (biased) Cherenkov wavelength sampler.
+
+    Mirrors makeCherenkovWavelengthGenerator: if the bias is a table, use its
+    binning; otherwise make a ~10nm grid over the medium range
+    (I3CLSimModuleHelper.cxx:224-300)."""
+    if bias_wlen_nm is not None:
+        wl = jnp.asarray(bias_wlen_nm)
+        bias = jnp.asarray(bias_values)
+    else:
+        n_points = int((max_wlen_nm - min_wlen_nm) / step_nm) + 2
+        wl = jnp.linspace(min_wlen_nm, max_wlen_nm, n_points)
+        bias = jnp.ones_like(wl)
+    spectrum = bias * cherenkov_yield_density(ref_index, wl)
+    x, acu, beta = build_interpolated_dist(wl, spectrum)
+    return WavelengthSpectrum(x=x, acu=acu, beta=beta, bias_x=wl, bias_y=bias)
+
+
+def make_tabulated_spectrum(wlen_nm, density,
+                            bias_wlen_nm=None, bias_values=None) -> WavelengthSpectrum:
+    """Sampler for an arbitrary tabulated emission spectrum (flasher LEDs),
+    optionally multiplied by the generation bias (the equivalent of
+    makeWavelengthGenerator, I3CLSimModuleHelper.cxx:74-170)."""
+    wl = jnp.asarray(wlen_nm)
+    dens = jnp.asarray(density)
+    if bias_values is not None:
+        bias = jnp.interp(wl, jnp.asarray(bias_wlen_nm), jnp.asarray(bias_values))
+        bias_x, bias_y = jnp.asarray(bias_wlen_nm), jnp.asarray(bias_values)
+    else:
+        bias = jnp.ones_like(wl)
+        bias_x, bias_y = wl, bias
+    x, acu, beta = build_interpolated_dist(wl, dens * bias)
+    return WavelengthSpectrum(x=x, acu=acu, beta=beta, bias_x=bias_x, bias_y=bias_y)
+
+
+def sample_wavelength(spec: WavelengthSpectrum, u):
+    return sample_interpolated_dist((spec.x, spec.acu, spec.beta), u)
+
+
+def wavelength_bias(spec: WavelengthSpectrum, wlen_nm):
+    """getWavelengthBias(lambda): linear interp of the bias table; the saved
+    photon weight is step.weight / bias (propagation_kernel.c.cl:370)."""
+    return jnp.interp(wlen_nm, spec.bias_x, spec.bias_y)
+
+
+class SpectrumTable(NamedTuple):
+    """Stacked per-source-type spectra (index 0 = Cherenkov, >=1 flashers) --
+    the equivalent of I3CLSimSpectrumTable + the kernel's generateWavelength
+    dispatch (public/clsim/I3CLSimSpectrumTable.h, propagation_kernel.c.cl:153-183).
+    All member tables must share a common length; pad with repeats."""
+    x: jnp.ndarray       # (n_spectra, n)
+    acu: jnp.ndarray     # (n_spectra, n)
+    beta: jnp.ndarray    # (n_spectra, n)
+    bias_x: jnp.ndarray  # (nb,)   (bias is shared: the DOM acceptance)
+    bias_y: jnp.ndarray  # (nb,)
+
+
+def stack_spectra(spectra) -> SpectrumTable:
+    n = max(s.x.shape[0] for s in spectra)
+
+    def pad(a):
+        if a.shape[0] == n:
+            return a
+        return jnp.concatenate([a, jnp.repeat(a[-1:], n - a.shape[0], 0)])
+
+    return SpectrumTable(
+        x=jnp.stack([pad(s.x) for s in spectra]),
+        acu=jnp.stack([pad(s.acu) for s in spectra]),
+        beta=jnp.stack([pad(s.beta) for s in spectra]),
+        bias_x=spectra[0].bias_x, bias_y=spectra[0].bias_y)
+
+
+def sample_wavelength_dispatch(table: SpectrumTable, source_type, u):
+    """Sample lambda for per-photon source types (0=Cherenkov, >=1 flasher)."""
+    x = table.x[source_type]
+    acu = table.acu[source_type]
+    beta = table.beta[source_type]
+    n = x.shape[-1]
+    # vectorized inverse-CDF over per-row tables
+    k = jnp.clip(jnp.sum((acu <= u[..., None]).astype(jnp.int32), axis=-1) - 1, 0, n - 2)
+    take = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
+    b = take(beta, k)
+    x0 = take(x, k)
+    x1 = take(x, k + 1)
+    slope = (take(beta, k + 1) - b) / (x1 - x0)
+    dy = u - take(acu, k)
+    eps = 1e-20
+    s_zero = jnp.abs(slope) < eps
+    b_zero = jnp.abs(b) < eps
+    safe_slope = jnp.where(s_zero, 1.0, slope)
+    safe_b = jnp.where(b_zero, 1.0, b)
+    r_full = x0 + (jnp.sqrt(jnp.maximum(dy * 2.0 * safe_slope / (safe_b * safe_b) + 1.0, 0.0)) - 1.0) * safe_b / safe_slope
+    r_bz = x0 + jnp.sqrt(jnp.maximum(2.0 * dy / safe_slope, 0.0))
+    r_sz = x0 + dy / safe_b
+    return jnp.where(b_zero & s_zero, x0,
+                     jnp.where(b_zero, r_bz, jnp.where(s_zero, r_sz, r_full)))

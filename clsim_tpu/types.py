@@ -1,0 +1,138 @@
+"""Core data batches (struct-of-arrays) and the static simulation config.
+
+TPU-native equivalents of the reference's packed POD structs:
+  * StepBatch  <-> I3CLSimStep   (public/clsim/I3CLSimStep.h:68-155)
+  * PhotonBatch<-> I3CLSimPhoton (public/clsim/I3CLSimPhoton.h:194-210)
+
+Where the reference bakes feature flags into generated OpenCL via #defines
+(SAVE_ALL_PHOTONS, STOP_PHOTONS_ON_DETECTION, PANCAKE_FACTOR, ...;
+propagation_kernel.c.cl:27-41), the TPU build specializes jit compilation on
+the static fields of PropagationConfig.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class StepBatch(NamedTuple):
+    """A bunch of light-emitting Cherenkov steps, padded to a fixed size with
+    dummy steps (num_photons == 0), exactly like the reference's bunching
+    contract (I3CLSimStepStore.h:163-220)."""
+    x: jnp.ndarray          # (S,) start position [m]
+    y: jnp.ndarray
+    z: jnp.ndarray
+    t: jnp.ndarray          # (S,) start time [ns]
+    dir_x: jnp.ndarray      # (S,) unit direction (cartesian; the reference
+    dir_y: jnp.ndarray      #      stores theta/phi and converts on device)
+    dir_z: jnp.ndarray
+    length: jnp.ndarray     # (S,) step length [m]
+    beta: jnp.ndarray       # (S,) particle speed / c
+    num_photons: jnp.ndarray  # (S,) uint32 photons to spawn
+    weight: jnp.ndarray     # (S,) statistical weight
+    identifier: jnp.ndarray   # (S,) uint32 external id (frame/particle ref)
+    source_type: jnp.ndarray  # (S,) uint8: 0=Cherenkov, >=1 flasher spectrum
+
+    @property
+    def n_steps(self):
+        return self.x.shape[0]
+
+    @staticmethod
+    def concatenate(batches):
+        return StepBatch(*[jnp.concatenate([getattr(b, f) for b in batches])
+                           for f in StepBatch._fields])
+
+    @staticmethod
+    def empty(n: int):
+        zf = np.zeros(n, np.float32)
+        zi = np.zeros(n, np.int32)
+        return StepBatch(x=zf, y=zf, z=zf, t=zf, dir_x=zf, dir_y=zf,
+                         dir_z=np.ones(n, np.float32), length=zf,
+                         beta=np.ones(n, np.float32), num_photons=zi,
+                         weight=np.ones(n, np.float32), identifier=zi,
+                         source_type=zi)
+
+    def pad_to(self, n: int):
+        """Pad with dummy (num_photons=0) steps to exactly n entries."""
+        cur = self.n_steps
+        if cur == n:
+            return self
+        if cur > n:
+            raise ValueError(f"batch of {cur} does not fit into {n}")
+        pad = n - cur
+
+        def _pad(a, fill=0):
+            return np.concatenate([np.asarray(a),
+                                   np.full((pad,), fill, np.asarray(a).dtype)])
+
+        return StepBatch(
+            x=_pad(self.x), y=_pad(self.y), z=_pad(self.z), t=_pad(self.t),
+            dir_x=_pad(self.dir_x), dir_y=_pad(self.dir_y), dir_z=_pad(self.dir_z, 1),
+            length=_pad(self.length), beta=_pad(self.beta, 1),
+            num_photons=_pad(self.num_photons), weight=_pad(self.weight, 1),
+            identifier=_pad(self.identifier), source_type=_pad(self.source_type))
+
+
+class PhotonBatch(NamedTuple):
+    """Recorded photons at DOMs (fixed-capacity, validity-masked).
+
+    Field-for-field the information content of I3CLSimPhoton: hit position is
+    stored *relative to the hit DOM center* with pancaking undone
+    (propagation_kernel.c.cl:337-363), direction as (theta, phi)."""
+    valid: jnp.ndarray        # (P,) bool
+    pos_x: jnp.ndarray        # (P,) position relative to DOM center [m]
+    pos_y: jnp.ndarray
+    pos_z: jnp.ndarray
+    time: jnp.ndarray         # (P,) arrival time [ns]
+    dir_theta: jnp.ndarray
+    dir_phi: jnp.ndarray
+    wavelength: jnp.ndarray   # (P,) [nm]
+    cherenkov_dist: jnp.ndarray  # (P,) total path length [m]
+    num_scatters: jnp.ndarray
+    weight: jnp.ndarray
+    identifier: jnp.ndarray
+    string_id: jnp.ndarray
+    om_id: jnp.ndarray
+    start_x: jnp.ndarray      # photon emission point / time / direction
+    start_y: jnp.ndarray
+    start_z: jnp.ndarray
+    start_time: jnp.ndarray
+    start_theta: jnp.ndarray
+    start_phi: jnp.ndarray
+    group_velocity: jnp.ndarray  # [m/ns]
+    dist_in_abs_lens: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class PropagationConfig:
+    """Static (compile-time) propagation options.
+
+    Mirrors the reference's kernel #define flags and converter options
+    (public/clsim/I3CLSimStepToPhotonConverterOpenCL.h:78-255)."""
+    n_slots: int = 8192            # parallel photon slots (work items)
+    stop_on_detection: bool = True  # STOP_PHOTONS_ON_DETECTION
+    save_photons: bool = False      # keep full photon records (parity mode)
+    photon_capacity_per_slot: int = 8  # record ring size when save_photons
+    pancake_factor: float = 1.0     # PANCAKE_FACTOR (DOM oversize flattening)
+    dom_oversize: float = 1.0       # collision radius = R * oversize
+    max_segment_m: float = 90.0     # segment cap; bounds the per-iteration
+                                    # layer/DOM windows (TPU reformulation of
+                                    # the unbounded SIMT walk)
+    max_layer_steps: int = 16       # medium layers crossable per segment
+    max_dom_layers: int = 8         # DOM z-layers checked per (segment,string)
+    strings_per_photon: int = 2     # top-K candidate strings per segment
+    fixed_abs_lens: float = 0.0     # >0: PROPAGATE_FOR_FIXED_NUMBER_OF_
+                                    # ABSORPTION_LENGTHS (tabulator mode)
+    # time histogram
+    hist_t_min: float = 0.0         # [ns]
+    hist_t_max: float = 6400.0
+    hist_n_bins: int = 512
+    soft_binning: bool = False      # linear-interp deposition (differentiable)
+
+    @property
+    def hist_dt(self) -> float:
+        return (self.hist_t_max - self.hist_t_min) / self.hist_n_bins
