@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .constants import DOM_RADIUS
+from .pytree import register_static_fields
 
 EMPTY = -1
 
@@ -69,6 +70,11 @@ class DetectorGeometry(NamedTuple):
         """Effective collision sphere radius R * oversize
         (sparse_collision_kernel.c.cl:118)."""
         return self.om_radius * self.oversize
+
+
+register_static_fields(DetectorGeometry,
+                       ["om_radius", "oversize", "max_string_r",
+                        "min_layer_height"])
 
 
 def build_geometry(string_ids, om_ids, xs, ys, zs,

@@ -15,12 +15,17 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from ..pytree import register_static_fields
+
 
 class AnisotropyParams(NamedTuple):
     azimuth: jnp.ndarray        # direction of ice tilt (perp. to flow) [rad]
     mag_along: jnp.ndarray      # anisotropy magnitude along tilt direction
     mag_perp: jnp.ndarray       # anisotropy magnitude along flow
     enabled: bool = True        # static; False -> all three ops are no-ops
+
+
+register_static_fields(AnisotropyParams, ["enabled"])
 
 
 def _basis(p: AnisotropyParams):

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import C_LIGHT
+from ..pytree import register_static_fields
 from . import functions as F
 from .anisotropy import AnisotropyParams
 from .tilt import TiltParams, disabled_tilt
@@ -41,6 +42,9 @@ class ScatteringAngleDist(NamedTuple):
     # water only: tabulated phase function as inverse-CDF table over cos(theta)
     table_cos: Optional[jnp.ndarray] = None    # (n,) support points
     table_cdf: Optional[jnp.ndarray] = None    # (n,) CDF values
+
+
+register_static_fields(ScatteringAngleDist, ["kind"])
 
 
 class MediumProperties(NamedTuple):
@@ -112,6 +116,9 @@ class MediumProperties(NamedTuple):
 
     def group_velocity(self, wlen_nm):
         return C_LIGHT / self.group_ref_index(wlen_nm)
+
+
+register_static_fields(MediumProperties, ["n_layers", "min_wlen", "max_wlen"])
 
 
 def make_homogeneous_ice(n_layers: int = 2,

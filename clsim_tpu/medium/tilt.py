@@ -19,6 +19,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from ..pytree import register_static_fields
+
 
 class TiltParams(NamedTuple):
     distances: jnp.ndarray    # (nd,) distances from origin along tilt azimuth [m]
@@ -28,6 +30,9 @@ class TiltParams(NamedTuple):
     azimuth_cos: jnp.ndarray  # () cos of tilt direction azimuth (225 deg default)
     azimuth_sin: jnp.ndarray
     enabled: bool = True      # static; False -> zero shift
+
+
+register_static_fields(TiltParams, ["enabled"])
 
 
 def tilt_z_shift(p: TiltParams, x, y, z):

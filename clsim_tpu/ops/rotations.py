@@ -10,6 +10,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def safe_sqrt(x):
+    """sqrt(max(x, 0)) with a finite gradient at x <= 0 (the standard
+    where-inside-where guard; a bare sqrt(maximum(x,0)) produces NaN
+    cotangents at the clamp)."""
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def scatter_direction_by_angle(cosa, sina, dx, dy, dz, u_azimuth):
     """Rotate unit direction (dx,dy,dz) by angle (cosa,sina) with azimuth
     2*pi*u_azimuth about the old direction.  Branchless version of the
@@ -18,7 +26,7 @@ def scatter_direction_by_angle(cosa, sina, dx, dy, dz, u_azimuth):
     cosb = jnp.cos(b)
     sinb = jnp.sin(b)
 
-    sinth = jnp.sqrt(jnp.maximum(0.0, 1.0 - dz * dz))
+    sinth = safe_sqrt(1.0 - dz * dz)
 
     # general (non-vertical) branch
     safe_sinth = jnp.maximum(sinth, 1e-20)

@@ -45,7 +45,8 @@ from ..medium.anisotropy import (abs_len_scaling, post_scatter_transform,
 from ..medium.properties import MediumProperties
 from ..medium.tilt import tilt_z_shift
 from ..ops import rng
-from ..ops.rotations import cart_to_sph, scatter_direction_by_angle
+from ..ops.rotations import (cart_to_sph, safe_sqrt,
+                             scatter_direction_by_angle)
 from ..ops.samplers import mixed_cos, rayleigh_cos, sample_interpolated_dist
 from ..ops.spectrum import (SpectrumTable, sample_wavelength_dispatch,
                             wavelength_bias)
@@ -124,7 +125,7 @@ def _create_photons(state: SlotState, steps: StepBatch,
 
     n_phase = medium.phase_ref_index(wlen)
     cos_c = jnp.minimum(1.0, 1.0 / (steps.beta * n_phase))
-    sin_c = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_c * cos_c))
+    sin_c = safe_sqrt(1.0 - cos_c * cos_c)
     cdx, cdy, cdz = scatter_direction_by_angle(
         cos_c, sin_c, steps.dir_x, steps.dir_y, steps.dir_z, u_azi)
     # flasher sources (source_type >= 1) keep the step direction untouched
@@ -135,8 +136,11 @@ def _create_photons(state: SlotState, steps: StepBatch,
 
     inv_gv = 1.0 / medium.group_velocity(wlen)
 
-    if cfg.fixed_abs_lens > 0.0:
-        abs_init = jnp.full_like(px, cfg.fixed_abs_lens)
+    if cfg.estimator == "expected" or cfg.fixed_abs_lens > 0.0:
+        # fixed horizon (the tabulator's PROPAGATE_FOR_FIXED_NUMBER_OF_
+        # ABSORPTION_LENGTHS; default matches photonics' 1e-20 survival)
+        horizon = cfg.fixed_abs_lens if cfg.fixed_abs_lens > 0.0 else 46.0
+        abs_init = jnp.full_like(px, horizon)
     else:
         abs_init = -jnp.log(rng.uniform_oc(u_abs))
 
@@ -190,7 +194,10 @@ def _segment_distances(state: SlotState, medium: MediumProperties,
     vertical = abs_dz < EPSILON
 
     boundary_z = medium.layer_bottom_z(j0) + jnp.where(going_up, T, 0.0)
-    t_bound0 = jnp.where(vertical, BIG, (boundary_z - z_eff) / dz)
+    # safe denominator: a bare /dz at dz==0 creates inf in the discarded
+    # where-branch, which becomes 0*inf = NaN in the backward pass
+    safe_dz = jnp.where(vertical, 1.0, dz)
+    t_bound0 = jnp.where(vertical, BIG, (boundary_z - z_eff) / safe_dz)
     # guard: photons outside the layer grid can get a negative first boundary
     # distance; the reference's walk never runs in that situation either
     t_bound0 = jnp.where(t_bound0 < 0.0, BIG, t_bound0)
@@ -248,6 +255,32 @@ def _segment_distances(state: SlotState, medium: MediumProperties,
 # ---------------------------------------------------------------------------
 # collision detection (sparse_collision_kernel.c.cl)
 # ---------------------------------------------------------------------------
+
+def _check_collisions_bruteforce(state: SlotState, geo: DetectorGeometry,
+                                 cfg: PropagationConfig, d_prop, active):
+    """O(N x D) exact sphere test against every DOM -- the validation oracle
+    for the culled path and the right choice for small test geometries."""
+    x, y, z = state.x, state.y, state.z
+    dx, dy, dz = state.dx, state.dy, state.dz
+    R = geo.collision_radius
+    ox = geo.dom_x[None, :] - x[:, None]
+    oy = geo.dom_y[None, :] - y[:, None]
+    oz = geo.dom_z[None, :] - z[:, None]
+    dr2 = ox * ox + oy * oy + oz * oz
+    urdot = ox * dx[:, None] + oy * dy[:, None] + oz * dz[:, None]
+    discr = urdot * urdot - dr2 + R * R
+    sq = safe_sqrt(discr) / cfg.pancake_factor
+    smin1 = urdot - sq
+    has_xy = (dx * dx + dy * dy) > 0.0
+    good = (discr >= 0.0) & (urdot + sq >= 0.0) & (smin1 >= 0.0) \
+         & (smin1 < d_prop[:, None]) & active[:, None] & has_xy[:, None]
+    smin1 = jnp.where(good, smin1, BIG)
+    hit_dom = jnp.argmin(smin1, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(smin1, hit_dom[:, None], 1)[:, 0]
+    hit = best < BIG
+    hit_dist = jnp.where(hit, best, d_prop)
+    return hit, hit_dist, hit_dom
+
 
 def _check_collisions(state: SlotState, geo: DetectorGeometry,
                       cfg: PropagationConfig, d_prop, active):
@@ -321,7 +354,7 @@ def _check_collisions(state: SlotState, geo: DetectorGeometry,
             dr2 = ox * ox + oy * oy + oz * oz
             urdot = ox * dx + oy * dy + oz * dz
             discr = urdot * urdot - dr2 + R2
-            sq = jnp.sqrt(jnp.maximum(discr, 0.0)) / pancake
+            sq = safe_sqrt(discr) / pancake
             smin1 = urdot - sq
             smin2 = urdot + sq
             good = valid & (discr >= 0.0) & (smin2 >= 0.0) & (smin1 >= 0.0) \
@@ -331,8 +364,10 @@ def _check_collisions(state: SlotState, geo: DetectorGeometry,
             hit_dom = jnp.where(good, dom_c, hit_dom)
             return hit_found, hit_dist, hit_dom
 
-        max_w = geo.layer_to_dom.shape[1] if cfg.max_dom_layers <= 0 else \
-            min(cfg.max_dom_layers, geo.layer_to_dom.shape[1])
+        # the window must cover the z extent of a full-length segment:
+        # ceil(max_segment / smallest per-string layer height) + 2
+        needed = int(cfg.max_segment_m / geo.min_layer_height) + 3
+        max_w = min(needed, geo.layer_to_dom.shape[1])
         hit_found, hit_dist, hit_dom = jax.lax.fori_loop(
             0, max_w, dom_layer_body, (hit_found, hit_dist, hit_dom))
 
@@ -368,8 +403,19 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
         state, medium, cfg, sca_budget, abs_budget)
 
     # --- collisions ---
-    hit, hit_dist, hit_dom = _check_collisions(state, geo, cfg, d_prop, active)
-    if cfg.stop_on_detection:
+    if cfg.collision_mode == "bruteforce":
+        hit, hit_dist, hit_dom = _check_collisions_bruteforce(
+            state, geo, cfg, d_prop, active)
+    else:
+        hit, hit_dist, hit_dom = _check_collisions(state, geo, cfg, d_prop, active)
+
+    # consumed absorption budget this segment (uncorrected units), needed by
+    # the expected-value estimator before any detect-mode zeroing below
+    tau_seg = state.abs_lens_left - abs_left / abs_corr
+    tau_start = state.abs_lens_initial - state.abs_lens_left
+
+    stop_on_hit = cfg.stop_on_detection and cfg.estimator == "detect"
+    if stop_on_hit:
         d_prop = jnp.where(hit, hit_dist, d_prop)
         absorbed = jnp.where(hit, False, absorbed)
         scattered = jnp.where(hit, False, scattered)
@@ -381,6 +427,16 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
     step_weight = steps.weight
     bias = jnp.interp(state.wlen, spectra.bias_x, spectra.bias_y)
     w_hit = jnp.where(hit & active, step_weight / jnp.maximum(bias, 1e-20), 0.0)
+    if cfg.estimator == "expected":
+        # continuous-absorption estimator: instead of killing the photon at a
+        # sampled absorption point, every DOM entry deposits the survival
+        # probability exp(-optical depth), linearly interpolated within the
+        # segment exactly like the reference's tabulator weighting
+        # (propagation_kernel.c.cl:289-290); photons pass through DOMs and
+        # die only at the fixed absorption-length horizon.  This is the
+        # differentiable path: the weight is smooth in the ice parameters.
+        frac = hit_dist / jnp.maximum(d_prop, 1e-20)
+        w_hit = w_hit * jnp.exp(-(tau_start + frac * tau_seg))
 
     t_hit = state.t + state.inv_groupvel * hit_dist
     tbin_f = (t_hit - cfg.hist_t_min) / cfg.hist_dt
@@ -468,7 +524,7 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
              jnp.ones_like(medium.scattering.table_cos)), u[6])
         ray = rayleigh_cos(u[6])
         cos_s = jnp.where(u[5] < medium.scattering.liu_fraction, tab, ray)
-    sin_s = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_s * cos_s))
+    sin_s = safe_sqrt(1.0 - cos_s * cos_s)
     sdx, sdy, sdz = scatter_direction_by_angle(cos_s, sin_s, pdx, pdy, pdz, u[7])
     sdx, sdy, sdz = post_scatter_transform(medium.anisotropy, sdx, sdy, sdz)
 
@@ -482,7 +538,7 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
     # whenever its remaining budget drops below EPSILON, loop top of
     # propagation_kernel.c.cl:536-596) ---
     died = active & (absorbed | (state.abs_lens_left < EPSILON))
-    if cfg.stop_on_detection:
+    if stop_on_hit:
         died = died | (active & hit)
     state = state._replace(in_flight=state.in_flight & ~died)
     return state, acc

@@ -125,6 +125,10 @@ class PropagationConfig:
     max_layer_steps: int = 16       # medium layers crossable per segment
     max_dom_layers: int = 8         # DOM z-layers checked per (segment,string)
     strings_per_photon: int = 2     # top-K candidate strings per segment
+    collision_mode: str = "culled"  # "culled" | "bruteforce" (oracle/testing)
+    estimator: str = "detect"       # "detect": faithful clsim accept/reject;
+                                    # "expected": continuous-absorption
+                                    # pass-through weights (differentiable)
     fixed_abs_lens: float = 0.0     # >0: PROPAGATE_FOR_FIXED_NUMBER_OF_
                                     # ABSORPTION_LENGTHS (tabulator mode)
     # time histogram
