@@ -1,0 +1,122 @@
+"""Throughput benchmark: photons propagated per second per chip.
+
+Replicates the semantics of the reference's resources/scripts/benchmark.py
+(40 TeV-scale cascade workload, spice_lea-like layered ice, stop-on-detection,
+DOM oversize 5) and reports the headline metric against the BASELINE.json
+north-star target of 1e9 photons/s/chip.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+TARGET = 1.0e9  # photons/s/chip (BASELINE.md north star)
+
+
+def build_workload(n_slots, photons_per_slot):
+    import jax.numpy as jnp
+
+    from clsim_tpu.geometry import hexagonal_geometry
+    from clsim_tpu.medium.ice_parser import parse_ppc_ice_model
+    from clsim_tpu.medium.properties import make_homogeneous_ice
+    from clsim_tpu.ops.spectrum import make_cherenkov_spectrum, stack_spectra
+    from clsim_tpu.hits.acceptance import icecube_dom_acceptance
+    from clsim_tpu.types import PropagationConfig, StepBatch
+
+    ref_ice = "/root/reference/resources/ice/spice_lea"
+    if os.path.isdir(ref_ice):
+        medium, _ = parse_ppc_ice_model(ref_ice)
+    else:
+        medium = make_homogeneous_ice(n_layers=171, z_start=-855.0,
+                                      layer_height=10.0)
+
+    geo = hexagonal_geometry(n_rings=4, string_spacing=125.0,
+                             doms_per_string=60, dom_spacing=17.0,
+                             z_top=500.0, oversize=5.0)
+
+    acc = icecube_dom_acceptance(dom_radius=geo.om_radius * geo.oversize,
+                                 efficiency=1.0)
+    nb = acc.values.shape[0]
+    bias_x = np.asarray(acc.first_x) + np.asarray(acc.dx) * np.arange(nb)
+    bias_y = np.asarray(acc.values)
+    spectra = stack_spectra([make_cherenkov_spectrum(
+        medium.ref_index, medium.min_wlen, medium.max_wlen,
+        bias_wlen_nm=bias_x, bias_values=bias_y)])
+
+    cfg = PropagationConfig(n_slots=n_slots, pancake_factor=5.0,
+                            hist_n_bins=512)
+
+    # cascade-like step cloud near the detector center (mirrors the benchmark
+    # script's 40 TeV e- cascade at the center of the array)
+    rng = np.random.default_rng(1234)
+    n = n_slots
+    cos, u = rng.random(n) * 0.5 + 0.5, rng.random(n)
+    from clsim_tpu.sources.ppc import _rotate_by_angle, sample_cascade_angles
+    c, s = sample_cascade_angles(rng, n)
+    dx, dy, dz = _rotate_by_angle(c, s, np.full(n, 0.6), np.zeros(n),
+                                  np.full(n, 0.8), rng.random(n))
+    longi = 0.63 * rng.standard_gamma(4.5, n)
+    steps = StepBatch(
+        x=(longi * 0.6).astype(np.float32),
+        y=np.zeros(n, np.float32),
+        z=(longi * 0.8).astype(np.float32),
+        t=np.zeros(n, np.float32),
+        dir_x=dx.astype(np.float32), dir_y=dy.astype(np.float32),
+        dir_z=dz.astype(np.float32),
+        length=np.full(n, 1e-3, np.float32),
+        beta=np.ones(n, np.float32),
+        num_photons=np.full(n, photons_per_slot, np.int32),
+        weight=np.ones(n, np.float32),
+        identifier=np.zeros(n, np.int32),
+        source_type=np.zeros(n, np.int32))
+    steps = StepBatch(*[jnp.asarray(f) for f in steps])
+    return medium, geo, spectra, cfg, steps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from clsim_tpu.propagate.engine import propagate
+
+    n_slots = int(os.environ.get("BENCH_SLOTS", 65536))
+    photons_per_slot = int(os.environ.get("BENCH_PHOTONS_PER_SLOT", 200))
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if on_cpu:
+        n_slots = min(n_slots, 2048)
+        photons_per_slot = min(photons_per_slot, 8)
+
+    medium, geo, spectra, cfg, steps = build_workload(n_slots, photons_per_slot)
+    key = jnp.asarray([0, 99], jnp.uint32)
+
+    # warmup / compile
+    res = propagate(steps, medium, geo, spectra, key, cfg)
+    res.hist.block_until_ready()
+
+    reps = 1 if on_cpu else 3
+    t0 = time.perf_counter()
+    total_photons = 0.0
+    for r in range(reps):
+        res = propagate(steps, medium, geo, spectra,
+                        jnp.asarray([0, 100 + r], jnp.uint32), cfg)
+        res.hist.block_until_ready()
+        total_photons += float(res.n_generated)
+    dt = time.perf_counter() - t0
+
+    photons_per_s = total_photons / dt
+    print(json.dumps({
+        "metric": "photons_propagated_per_s_per_chip",
+        "value": photons_per_s,
+        "unit": "photons/s",
+        "vs_baseline": photons_per_s / TARGET,
+    }))
+
+
+if __name__ == "__main__":
+    main()

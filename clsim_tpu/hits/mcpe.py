@@ -1,0 +1,106 @@
+"""Photon -> MCPE (photoelectron hit) conversion.
+
+TPU-native equivalent of I3PhotonToMCPEConverter
+(private/clsim/dom/I3PhotonToMCPEConverter.cxx:330-510):
+
+  hitProbability = photon.weight
+                 * wavelengthAcceptance(lambda)
+                 * angularAcceptance(cos eta)          (eta vs the PMT axis,
+                                                        IceCube: straight down)
+                 * relative DOM efficiency (calibration)
+
+then accept if hitProbability > U (Bernoulli), MCPE time = photon arrival.
+Because the wavelength bias pre-applied the lambda-dependent QE during
+sampling, weights stay O(1) (the importance-sampling contract of
+SURVEY.md section 2.5).
+
+Two modes:
+  * sample_mcpes: faithful accept/reject on photon records
+  * expected_hist: multiply the per-DOM time histogram by the expectation of
+    the acceptance factors (differentiable path; angular factor folded in at
+    propagation time is planned for the record-free path)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..medium.functions import TableParams, eval_polynomial, eval_table
+
+
+class MCPEBatch(NamedTuple):
+    """Accepted photoelectrons (validity-masked fixed capacity)."""
+    valid: jnp.ndarray      # (P,) bool
+    dom: jnp.ndarray        # (P,) flat DOM index
+    time: jnp.ndarray       # (P,) [ns]
+    identifier: jnp.ndarray  # (P,) source identifier (particle ref)
+
+
+def hit_probability(weight, wavelength, cos_impact,
+                    wlen_acceptance: TableParams,
+                    angular_coeffs, efficiency=1.0):
+    """The product formula of I3PhotonToMCPEConverter.cxx:466-475."""
+    p = weight
+    p = p * eval_table(wlen_acceptance, wavelength)
+    p = p * eval_polynomial(angular_coeffs, jnp.clip(cos_impact, -1.0, 1.0))
+    p = p * efficiency
+    return p
+
+
+def sample_mcpes(rec: dict, rec_count, key,
+                 wlen_acceptance: TableParams, angular_coeffs,
+                 efficiency=1.0, pmt_axis=(0.0, 0.0, -1.0)) -> MCPEBatch:
+    """Accept/reject photon records into MCPEs.
+
+    `rec`/`rec_count` are the propagation result's record rings (flattened
+    over slots x capacity).  cos(impact) is computed from the photon
+    direction against the PMT axis only, matching the reference's standard
+    path (position unused when pancaked, …cxx:410-445).
+    """
+    n_slots, cap = rec["time"].shape
+    flat = {k: v.reshape(-1) for k, v in rec.items()}
+    slot_idx = jnp.repeat(jnp.arange(n_slots), cap)
+    pos_in_slot = jnp.tile(jnp.arange(cap), n_slots)
+    valid = pos_in_slot < jnp.minimum(rec_count, cap)[slot_idx]
+
+    theta = flat["dir_theta"]
+    phi = flat["dir_phi"]
+    dx = jnp.sin(theta) * jnp.cos(phi)
+    dy = jnp.sin(theta) * jnp.sin(phi)
+    dz = jnp.cos(theta)
+    ax, ay, az = pmt_axis
+    cos_impact = -(dx * ax + dy * ay + dz * az)
+
+    p = hit_probability(flat["weight"], flat["wavelength"], cos_impact,
+                        wlen_acceptance, angular_coeffs, efficiency)
+    u = jax.random.uniform(key, p.shape)
+    accept = valid & (p > u)
+    return MCPEBatch(valid=accept,
+                     dom=flat["dom"].astype(jnp.int32),
+                     time=flat["time"],
+                     identifier=flat["identifier"].astype(jnp.int32))
+
+
+def expected_mcpe_factor(wlen_acceptance: TableParams, spectrum_x, spectrum_pdf,
+                         angular_coeffs=None):
+    """Spectrum-averaged wavelength acceptance (for scaling per-DOM time
+    histograms in the differentiable path, where per-photon wavelengths are
+    already marginalized into the histogram)."""
+    acc = eval_table(wlen_acceptance, spectrum_x)
+    w = spectrum_pdf / jnp.sum(spectrum_pdf)
+    return jnp.sum(acc * w)
+
+
+def mcpes_to_numpy(m: MCPEBatch):
+    """Compact the accepted hits to host numpy arrays sorted by time (the
+    reference sorts MCPE series by time, I3PhotonToMCPEConverter.cxx:520)."""
+    valid = np.asarray(m.valid)
+    dom = np.asarray(m.dom)[valid]
+    time = np.asarray(m.time)[valid]
+    ident = np.asarray(m.identifier)[valid]
+    order = np.argsort(time, kind="stable")
+    return dom[order], time[order], ident[order]

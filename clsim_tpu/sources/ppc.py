@@ -259,8 +259,12 @@ def assign_steps_to_slots(batch: StepBatch, n_slots: int) -> List[StepBatch]:
     total = int(num.sum())
     if total == 0:
         return [batch.pad_to(n_slots)] if batch.n_steps <= n_slots else []
-    target = max(1, -(-total // n_slots))  # ceil
-    reps = np.maximum(1, -(-num // target))
+    # pick the per-slot target so that sum(ceil(num/target)) <= n_slots is
+    # guaranteed whenever the non-empty step count fits at all
+    n_nonzero = int((num > 0).sum())
+    avail = max(1, n_slots - min(n_nonzero, n_slots - 1))
+    target = max(1, -(-total // avail))  # ceil
+    reps = np.where(num > 0, np.maximum(1, -(-num // target)), 1)
 
     idx = np.repeat(np.arange(len(num)), reps)
     # split each step's photons evenly across its reps

@@ -1,0 +1,88 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh (conftest
+forces xla_force_host_platform_device_count=8), mirroring the reference's
+no-GPU distributed test strategy (resources/tests/testCLSimServer.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from clsim_tpu.geometry import single_string_geometry
+from clsim_tpu.medium.properties import make_homogeneous_ice
+from clsim_tpu.parallel.mesh import (IceFit, make_mesh, make_sharded_propagate,
+                                     shard_steps)
+from clsim_tpu.propagate.engine import propagate
+from clsim_tpu.types import PropagationConfig
+from tests.test_engine import _beam_steps, _one_dom_geometry, _spectra
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh()
+
+
+def test_sharded_propagate_conserves_counts(mesh):
+    medium = make_homogeneous_ice(b400=1e-9, a_dust400=0.02)
+    geo = _one_dom_geometry(x=40.0, oversize=5.0)
+    spectra = _spectra()
+    cfg = PropagationConfig(n_slots=64)  # per-device slots
+    steps = _beam_steps(64 * 8, 16)
+    steps = shard_steps(steps, mesh)
+    run = make_sharded_propagate(mesh, cfg)
+    res = run(steps, medium, geo, spectra, jnp.asarray([0, 17], jnp.uint32))
+    assert float(res.n_generated) == 64 * 8 * 16
+    expected = np.exp(-(40.0 - geo.collision_radius)
+                      * float(medium.inv_absorption_length(1, 400.0)))
+    assert float(res.n_hits) / float(res.n_generated) == pytest.approx(
+        expected, rel=0.05)
+
+
+def test_sharded_matches_single_device_statistically(mesh):
+    """8-way sharded and single-device runs agree on the hit fraction."""
+    medium = make_homogeneous_ice(b400=0.05, a_dust400=0.01)
+    geo = single_string_geometry(n_doms=24, spacing=17.0, x=10.0,
+                                 z_top=200.0, oversize=5.0)
+    spectra = _spectra()
+    # use the low-variance expected estimator so modest photon counts give a
+    # statistically meaningful comparison
+    cfg = PropagationConfig(n_slots=64, estimator="expected")
+    steps8 = shard_steps(_beam_steps(64 * 8, 16, direction=(0.05, 0.0, 0.99875),
+                                     pos=(0.0, 0.0, -10.0), source_type=0), mesh)
+    run = make_sharded_propagate(mesh, cfg)
+    res8 = run(steps8, medium, geo, spectra, jnp.asarray([0, 23], jnp.uint32))
+
+    cfg1 = PropagationConfig(n_slots=512, estimator="expected")
+    steps1 = _beam_steps(512, 16, direction=(0.05, 0.0, 0.99875),
+                         pos=(0.0, 0.0, -10.0), source_type=0)
+    res1 = propagate(steps1, medium, geo, spectra,
+                     jnp.asarray([0, 24], jnp.uint32), cfg1)
+
+    f8 = float(res8.weight_hits) / float(res8.n_generated)
+    f1 = float(res1.weight_hits) / float(res1.n_generated)
+    assert f8 == pytest.approx(f1, rel=0.25)  # statistical agreement
+
+
+def test_ice_fit_step_descends(mesh):
+    """One sharded SGD step on b400 must reduce the loss against a target
+    histogram produced by a different b400 (BASELINE config #5 smoke)."""
+    geo = _one_dom_geometry(x=30.0, oversize=5.0)
+    spectra = _spectra()
+    cfg = PropagationConfig(n_slots=32, estimator="expected",
+                            soft_binning=True)
+    steps = shard_steps(_beam_steps(32 * 8, 8), mesh)
+    key = jnp.asarray([0, 31], jnp.uint32)
+
+    medium = make_homogeneous_ice(b400=0.02, a_dust400=0.01)
+    run = make_sharded_propagate(mesh, cfg)
+    target = run(steps, medium, geo, spectra, key).hist
+
+    fit = IceFit(mesh, cfg, geo, spectra, learning_rate=1e-7,
+                 max_iterations=48)
+    params0 = {"a_dust400": jnp.full(2, 0.013, jnp.float32)}
+    params1, loss0 = fit.step(params0, medium, steps, key, target)
+    params2, loss1 = fit.step(
+        jax.tree.map(jnp.asarray, params1), medium, steps, key, target)
+    assert float(loss1) < float(loss0)
+    # parameters moved toward the target value 0.01
+    assert float(params1["a_dust400"][0]) < 0.013
