@@ -20,8 +20,8 @@ TARGET = 1.0e9  # photons/s/chip (BASELINE.md north star)
 
 
 def build_workload(n_slots, photons_per_slot):
-    import jax.numpy as jnp
-
+    """Pure-numpy workload construction (tiny jnp ops each trigger a remote
+    compile through the TPU tunnel; keep setup on the host)."""
     from clsim_tpu.geometry import hexagonal_geometry
     from clsim_tpu.medium.ice_parser import parse_ppc_ice_model
     from clsim_tpu.medium.properties import make_homogeneous_ice
@@ -42,21 +42,22 @@ def build_workload(n_slots, photons_per_slot):
 
     acc = icecube_dom_acceptance(dom_radius=geo.om_radius * geo.oversize,
                                  efficiency=1.0)
-    nb = acc.values.shape[0]
-    bias_x = np.asarray(acc.first_x) + np.asarray(acc.dx) * np.arange(nb)
+    nb = np.asarray(acc.values).shape[0]
+    bias_x = float(acc.first_x) + float(acc.dx) * np.arange(nb)
     bias_y = np.asarray(acc.values)
+    from clsim_tpu.medium.functions import DEFAULT_ICE_REF_INDEX
     spectra = stack_spectra([make_cherenkov_spectrum(
-        medium.ref_index, medium.min_wlen, medium.max_wlen,
+        DEFAULT_ICE_REF_INDEX, medium.min_wlen, medium.max_wlen,
         bias_wlen_nm=bias_x, bias_values=bias_y)])
 
     cfg = PropagationConfig(n_slots=n_slots, pancake_factor=5.0,
-                            hist_n_bins=512)
+                            hist_n_bins=512, max_layer_steps=10,
+                            hit_compact_capacity=4096)
 
     # cascade-like step cloud near the detector center (mirrors the benchmark
     # script's 40 TeV e- cascade at the center of the array)
     rng = np.random.default_rng(1234)
     n = n_slots
-    cos, u = rng.random(n) * 0.5 + 0.5, rng.random(n)
     from clsim_tpu.sources.ppc import _rotate_by_angle, sample_cascade_angles
     c, s = sample_cascade_angles(rng, n)
     dx, dy, dz = _rotate_by_angle(c, s, np.full(n, 0.6), np.zeros(n),
@@ -75,7 +76,6 @@ def build_workload(n_slots, photons_per_slot):
         weight=np.ones(n, np.float32),
         identifier=np.zeros(n, np.int32),
         source_type=np.zeros(n, np.int32))
-    steps = StepBatch(*[jnp.asarray(f) for f in steps])
     return medium, geo, spectra, cfg, steps
 
 
@@ -84,29 +84,31 @@ def main():
     import jax.numpy as jnp
 
     from clsim_tpu.propagate.engine import propagate
+    from clsim_tpu.types import StepBatch
 
-    n_slots = int(os.environ.get("BENCH_SLOTS", 65536))
-    photons_per_slot = int(os.environ.get("BENCH_PHOTONS_PER_SLOT", 200))
     on_cpu = jax.devices()[0].platform == "cpu"
-    if on_cpu:
-        n_slots = min(n_slots, 2048)
-        photons_per_slot = min(photons_per_slot, 8)
+    n_slots = int(os.environ.get("BENCH_SLOTS", 2048 if on_cpu else 262144))
+    photons_per_slot = int(os.environ.get("BENCH_PHOTONS_PER_SLOT",
+                                          8 if on_cpu else 50))
 
     medium, geo, spectra, cfg, steps = build_workload(n_slots, photons_per_slot)
-    key = jnp.asarray([0, 99], jnp.uint32)
+    steps = StepBatch(*[jnp.asarray(f) for f in steps])
 
-    # warmup / compile
-    res = propagate(steps, medium, geo, spectra, key, cfg)
-    res.hist.block_until_ready()
+    def run(seed):
+        res = propagate(steps, medium, geo, spectra,
+                        jnp.asarray([0, seed], jnp.uint32), cfg)
+        # note: block_until_ready is unreliable on the axon TPU relay --
+        # force a host transfer to synchronize
+        return float(res.n_generated), float(jnp.sum(res.hist))
+
+    run(99)  # warmup / compile
 
     reps = 1 if on_cpu else 3
     t0 = time.perf_counter()
     total_photons = 0.0
     for r in range(reps):
-        res = propagate(steps, medium, geo, spectra,
-                        jnp.asarray([0, 100 + r], jnp.uint32), cfg)
-        res.hist.block_until_ready()
-        total_photons += float(res.n_generated)
+        ng, _ = run(100 + r)
+        total_photons += ng
     dt = time.perf_counter() - t0
 
     photons_per_s = total_photons / dt

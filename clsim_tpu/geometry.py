@@ -52,6 +52,12 @@ class DetectorGeometry(NamedTuple):
     n_layers: jnp.ndarray        # (S,) int32
     layer_to_dom: jnp.ndarray    # (S, L) int32
 
+    # dense per-string DOM slots (S, M, 4): x, y, z, flat index (-1 empty).
+    # fetched per photon with one one-hot matmul -- TPUs have no fast
+    # gather, so the collision path tests all M slots of the top-K culled
+    # strings instead of walking z-layers (see propagate/engine.py)
+    string_dom_table: jnp.ndarray
+
     om_radius: float             # nominal DOM radius [m] (static)
     oversize: float              # oversize factor (static)
     max_string_r: float          # global max of string_max_r (static)
@@ -153,6 +159,16 @@ def build_geometry(string_ids, om_ids, xs, ys, zs,
     for si, t in enumerate(tables):
         layer_to_dom[si, :len(t)] = t
 
+    max_doms = max(int((string_ids == sid).sum()) for sid in unique_strings)
+    dom_table = np.zeros((n_strings, max_doms, 4), np.float32)
+    dom_table[:, :, 3] = -1.0
+    for si, sid in enumerate(unique_strings):
+        sel = np.nonzero(string_ids == sid)[0]
+        dom_table[si, :len(sel), 0] = xs[sel]
+        dom_table[si, :len(sel), 1] = ys[sel]
+        dom_table[si, :len(sel), 2] = zs[sel]
+        dom_table[si, :len(sel), 3] = sel.astype(np.float32)
+
     return DetectorGeometry(
         dom_x=jnp.asarray(xs, jnp.float32),
         dom_y=jnp.asarray(ys, jnp.float32),
@@ -168,6 +184,7 @@ def build_geometry(string_ids, om_ids, xs, ys, zs,
         layer_height=jnp.asarray(layer_h, jnp.float32),
         n_layers=jnp.asarray(n_layers),
         layer_to_dom=jnp.asarray(layer_to_dom, jnp.int32),
+        string_dom_table=jnp.asarray(dom_table),
         om_radius=float(om_radius),
         oversize=float(oversize),
         max_string_r=float(s_maxr.max()),

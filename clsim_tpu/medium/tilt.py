@@ -38,6 +38,7 @@ register_static_fields(TiltParams, ["enabled"])
 def tilt_z_shift(p: TiltParams, x, y, z):
     if not p.enabled:
         return jnp.zeros_like(z)
+    from ..ops.lookup import onehot_gather
     nd, nz = p.z_corrections.shape
 
     z_rescaled = (z - p.first_z) / p.z_spacing
@@ -50,13 +51,24 @@ def tilt_z_shift(p: TiltParams, x, y, z):
     # first j in [1, nd-1] with nr < distances[j], else nd-1
     j = jnp.clip(jnp.searchsorted(p.distances, nr, side="right"), 1, nd - 1)
 
-    d_hi = p.distances[j]
-    d_lo = p.distances[j - 1]
+    # fetch the four bilinear corners + the distance pair in one one-hot
+    # matmul over the (nd-1)*(nz-1) cell table (no per-lane gathers on TPU)
+    zc = p.z_corrections
+    cell = jnp.stack([
+        jnp.repeat(p.distances[:-1], nz - 1),
+        jnp.repeat(p.distances[1:], nz - 1),
+        zc[:-1, :-1].reshape(-1), zc[:-1, 1:].reshape(-1),
+        zc[1:, :-1].reshape(-1), zc[1:, 1:].reshape(-1),
+    ], axis=1)  # ((nd-1)*(nz-1), 6)
+    flat = (j - 1) * (nz - 1) + k
+    rows = onehot_gather(cell, flat)
+    d_lo, d_hi = rows[..., 0], rows[..., 1]
+    q_ll, q_lh, q_hl, q_hh = rows[..., 2], rows[..., 3], rows[..., 4], rows[..., 5]
+
     frac_lo = (d_hi - nr) / (d_hi - d_lo)
     frac_hi = 1.0 - frac_lo
-
-    val_lo = p.z_corrections[j - 1, k + 1] * fz_above + p.z_corrections[j - 1, k] * fz_below
-    val_hi = p.z_corrections[j, k + 1] * fz_above + p.z_corrections[j, k] * fz_below
+    val_lo = q_lh * fz_above + q_ll * fz_below
+    val_hi = q_hh * fz_above + q_hl * fz_below
     return val_hi * frac_hi + val_lo * frac_lo
 
 

@@ -1,0 +1,101 @@
+"""TPU-fast table lookup / scatter primitives.
+
+TPUs have no hardware gather/scatter: XLA lowers per-lane dynamic indexing to
+~0.5 ms serialized loops at 64k lanes (measured on v5e), while a one-hot
+matmul runs on the MXU in ~10 us.  Every in-loop table access in the
+propagation engine therefore goes through these helpers:
+
+  * onehot_gather     -- table rows by per-lane index via one-hot @ table
+  * masked_set        -- scatter-free .at[arange, idx].set via iota compare
+  * interp_onehot     -- jnp.interp without its internal gathers
+  * compact_scatter_add -- top_k-compacted histogram deposition: the only
+    real scatter left, shrunk from N updates to the hit count
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def onehot_gather(table, idx, dtype=jnp.float32):
+    """table[idx] for per-lane idx via one-hot matmul.
+
+    table: (L,) or (L, F); idx: (N,) int32 in [0, L).  Returns (N,) or (N, F).
+    Exact for values representable in f32 (use for f32 data and small ints).
+    """
+    squeeze = table.ndim == 1
+    t = table[:, None] if squeeze else table
+    oh = jax.nn.one_hot(idx, t.shape[0], dtype=dtype)
+    out = jnp.dot(oh, t.astype(dtype), preferred_element_type=dtype)
+    return out[:, 0] if squeeze else out
+
+
+def masked_set(arr, idx, value):
+    """arr.at[arange(N), idx].set(value) without a scatter: iota compare.
+    arr: (N, S); idx: (N,); value scalar or (N,)."""
+    S = arr.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
+    mask = cols == idx[:, None]
+    v = jnp.broadcast_to(jnp.asarray(value, arr.dtype), arr.shape)
+    return jnp.where(mask, v, arr)
+
+
+def ring_write(ring, pos, value, mask):
+    """ring.at[arange(N), pos].set(value) where mask, scatter-free.
+    ring: (N, K); pos: (N,); value: (N,); mask: (N,) bool."""
+    K = ring.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, ring.shape, 1)
+    sel = (cols == pos[:, None]) & mask[:, None]
+    return jnp.where(sel, value[:, None], ring)
+
+
+def interp_onehot(x, xp, fp):
+    """jnp.interp(x, xp, fp) for uniform-or-not ascending xp without gathers.
+    xp, fp: (L,); x: (N,).  Clamps outside the range like jnp.interp."""
+    L = xp.shape[0]
+    k = jnp.clip(jnp.searchsorted(xp, x, side="right") - 1, 0, L - 2)
+    # fetch (xp[k], xp[k+1], fp[k], fp[k+1]) in one matmul
+    tab = jnp.stack([xp[:-1], xp[1:], fp[:-1], fp[1:]], axis=1)  # (L-1, 4)
+    rows = onehot_gather(tab, k)
+    x0, x1, f0, f1 = rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]
+    t = jnp.clip((x - x0) / jnp.maximum(x1 - x0, 1e-30), 0.0, 1.0)
+    return f0 + t * (f1 - f0)
+
+
+def shifted_window_table(values, k_radius):
+    """(L, 2K+1) matrix W with W[l, K+d] = values[clip(l+d)] for d in [-K, K].
+    Built once per jitted call (tiny); lets a single one-hot matmul fetch a
+    photon's whole layer neighborhood."""
+    L = values.shape[0]
+    offs = jnp.arange(-k_radius, k_radius + 1)
+    idx = jnp.clip(jnp.arange(L)[:, None] + offs[None, :], 0, L - 1)
+    return values[idx]
+
+
+def compact_scatter_add(target, flat_idx, weights, capacity,
+                        fallback_full=True):
+    """target.at[flat_idx].add(weights) where most weights are zero.
+
+    Compacts the nonzero entries with top_k (capacity H) and scatters only
+    those H updates.  If more than H lanes are nonzero and fallback_full is
+    set, falls back to the full scatter inside a lax.cond (slow but exact,
+    and only the taken branch executes on TPU).
+    """
+    n = weights.shape[0]
+    if capacity <= 0 or capacity >= n:
+        return target.at[flat_idx].add(weights, mode="drop")
+
+    n_nonzero = jnp.sum((weights != 0.0).astype(jnp.int32))
+
+    def compacted(t):
+        w_top, lanes = jax.lax.top_k(weights, capacity)
+        idx_top = flat_idx[lanes]
+        return t.at[idx_top].add(w_top, mode="drop")
+
+    def full(t):
+        return t.at[flat_idx].add(weights, mode="drop")
+
+    if fallback_full:
+        return jax.lax.cond(n_nonzero <= capacity, compacted, full, target)
+    return compacted(target)

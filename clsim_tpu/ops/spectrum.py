@@ -64,25 +64,43 @@ class WavelengthSpectrum(NamedTuple):
     bias_y: jnp.ndarray
 
 
+def _np_interpolated_dist(x, y):
+    """Host-side (numpy) version of samplers.build_interpolated_dist; spectrum
+    tables are fixed setup data, so building them on the host avoids dozens
+    of tiny device compiles."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    widths = x[1:] - x[:-1]
+    segs = widths * (y[1:] + y[:-1]) / 2.0
+    acu = np.concatenate([[0.0], np.cumsum(segs)])
+    total = acu[-1]
+    return (x.astype(np.float32), (acu / total).astype(np.float32),
+            (y / total).astype(np.float32))
+
+
 def make_cherenkov_spectrum(ref_index: F.RefIndexParams,
                             min_wlen_nm: float, max_wlen_nm: float,
                             bias_wlen_nm=None, bias_values=None,
                             step_nm: float = 10.0) -> WavelengthSpectrum:
-    """Build the (biased) Cherenkov wavelength sampler.
+    """Build the (biased) Cherenkov wavelength sampler (host-side numpy).
 
     Mirrors makeCherenkovWavelengthGenerator: if the bias is a table, use its
     binning; otherwise make a ~10nm grid over the medium range
     (I3CLSimModuleHelper.cxx:224-300)."""
     if bias_wlen_nm is not None:
-        wl = jnp.asarray(bias_wlen_nm)
-        bias = jnp.asarray(bias_values)
+        wl = np.asarray(bias_wlen_nm, np.float64)
+        bias = np.asarray(bias_values, np.float64)
     else:
         n_points = int((max_wlen_nm - min_wlen_nm) / step_nm) + 2
-        wl = jnp.linspace(min_wlen_nm, max_wlen_nm, n_points)
-        bias = jnp.ones_like(wl)
-    spectrum = bias * cherenkov_yield_density(ref_index, wl)
-    x, acu, beta = build_interpolated_dist(wl, spectrum)
-    return WavelengthSpectrum(x=x, acu=acu, beta=beta, bias_x=wl, bias_y=bias)
+        wl = np.linspace(min_wlen_nm, max_wlen_nm, n_points)
+        bias = np.ones_like(wl)
+    n = np.asarray(F.phase_ref_index(
+        F.RefIndexParams(n=np.asarray(ref_index.n), g=np.asarray(ref_index.g)), wl))
+    dens = TWO_PI_OVER_137 * (1.0 - 1.0 / (n * n)) * 1e9 / (wl * wl)
+    x, acu, beta = _np_interpolated_dist(wl, bias * dens)
+    return WavelengthSpectrum(x=x, acu=acu, beta=beta,
+                              bias_x=wl.astype(np.float32),
+                              bias_y=bias.astype(np.float32))
 
 
 def make_tabulated_spectrum(wlen_nm, density,
@@ -90,15 +108,16 @@ def make_tabulated_spectrum(wlen_nm, density,
     """Sampler for an arbitrary tabulated emission spectrum (flasher LEDs),
     optionally multiplied by the generation bias (the equivalent of
     makeWavelengthGenerator, I3CLSimModuleHelper.cxx:74-170)."""
-    wl = jnp.asarray(wlen_nm)
-    dens = jnp.asarray(density)
+    wl = np.asarray(wlen_nm, np.float64)
+    dens = np.asarray(density, np.float64)
     if bias_values is not None:
-        bias = jnp.interp(wl, jnp.asarray(bias_wlen_nm), jnp.asarray(bias_values))
-        bias_x, bias_y = jnp.asarray(bias_wlen_nm), jnp.asarray(bias_values)
+        bias = np.interp(wl, np.asarray(bias_wlen_nm), np.asarray(bias_values))
+        bias_x = np.asarray(bias_wlen_nm, np.float32)
+        bias_y = np.asarray(bias_values, np.float32)
     else:
-        bias = jnp.ones_like(wl)
-        bias_x, bias_y = wl, bias
-    x, acu, beta = build_interpolated_dist(wl, dens * bias)
+        bias = np.ones_like(wl)
+        bias_x, bias_y = wl.astype(np.float32), bias.astype(np.float32)
+    x, acu, beta = _np_interpolated_dist(wl, dens * bias)
     return WavelengthSpectrum(x=x, acu=acu, beta=beta, bias_x=bias_x, bias_y=bias_y)
 
 
@@ -125,34 +144,49 @@ class SpectrumTable(NamedTuple):
 
 
 def stack_spectra(spectra) -> SpectrumTable:
-    n = max(s.x.shape[0] for s in spectra)
+    n = max(np.shape(s.x)[0] for s in spectra)
 
     def pad(a):
+        a = np.asarray(a)
         if a.shape[0] == n:
             return a
-        return jnp.concatenate([a, jnp.repeat(a[-1:], n - a.shape[0], 0)])
+        return np.concatenate([a, np.repeat(a[-1:], n - a.shape[0], 0)])
 
     return SpectrumTable(
-        x=jnp.stack([pad(s.x) for s in spectra]),
-        acu=jnp.stack([pad(s.acu) for s in spectra]),
-        beta=jnp.stack([pad(s.beta) for s in spectra]),
-        bias_x=spectra[0].bias_x, bias_y=spectra[0].bias_y)
+        x=np.stack([pad(s.x) for s in spectra]),
+        acu=np.stack([pad(s.acu) for s in spectra]),
+        beta=np.stack([pad(s.beta) for s in spectra]),
+        bias_x=np.asarray(spectra[0].bias_x), bias_y=np.asarray(spectra[0].bias_y))
 
 
 def sample_wavelength_dispatch(table: SpectrumTable, source_type, u):
-    """Sample lambda for per-photon source types (0=Cherenkov, >=1 flasher)."""
-    x = table.x[source_type]
-    acu = table.acu[source_type]
-    beta = table.beta[source_type]
-    n = x.shape[-1]
-    # vectorized inverse-CDF over per-row tables
-    k = jnp.clip(jnp.sum((acu <= u[..., None]).astype(jnp.int32), axis=-1) - 1, 0, n - 2)
-    take = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
-    b = take(beta, k)
-    x0 = take(x, k)
-    x1 = take(x, k + 1)
-    slope = (take(beta, k + 1) - b) / (x1 - x0)
-    dy = u - take(acu, k)
+    """Sample lambda for per-photon source types (0=Cherenkov, >=1 flasher).
+
+    Gather-free TPU path: the segment index within each spectrum comes from a
+    dense CDF comparison; the per-segment coefficients (x0, x1, beta0, beta1,
+    acu0) come from one one-hot matmul over the stacked
+    (n_spectra * (n-1), 5) coefficient table (see ops/lookup.py)."""
+    from .lookup import onehot_gather
+
+    n_spectra, n = table.x.shape
+    if n_spectra == 1:
+        acu = jnp.broadcast_to(table.acu[0], u.shape + (n,))
+        seg_base = jnp.zeros_like(u, dtype=jnp.int32)
+    else:
+        acu = onehot_gather(table.acu, source_type)
+        seg_base = source_type * (n - 1)
+    k = jnp.clip(jnp.sum((acu <= u[..., None]).astype(jnp.int32), axis=-1) - 1,
+                 0, n - 2)
+
+    coeff = jnp.stack([
+        table.x[:, :-1], table.x[:, 1:],
+        table.beta[:, :-1], table.beta[:, 1:],
+        table.acu[:, :-1],
+    ], axis=-1).reshape(n_spectra * (n - 1), 5)
+    rows = onehot_gather(coeff, seg_base + k)
+    x0, x1, b, b1, acu0 = (rows[..., i] for i in range(5))
+    slope = (b1 - b) / (x1 - x0)
+    dy = u - acu0
     eps = 1e-20
     s_zero = jnp.abs(slope) < eps
     b_zero = jnp.abs(b) < eps

@@ -45,6 +45,8 @@ from ..medium.anisotropy import (abs_len_scaling, post_scatter_transform,
 from ..medium.properties import MediumProperties
 from ..medium.tilt import tilt_z_shift
 from ..ops import rng
+from ..ops.lookup import (compact_scatter_add, masked_set, onehot_gather,
+                          ring_write, shifted_window_table)
 from ..ops.rotations import (cart_to_sph, safe_sqrt,
                              scatter_direction_by_angle)
 from ..ops.samplers import mixed_cos, rayleigh_cos, sample_interpolated_dist
@@ -203,42 +205,67 @@ def _segment_distances(state: SlotState, medium: MediumProperties,
     t_bound0 = jnp.where(t_bound0 < 0.0, BIG, t_bound0)
     t_step = jnp.where(vertical, BIG, T / jnp.maximum(abs_dz, 1e-20))
 
-    def inv_lens(j):
-        inv_s = gs * medium.b400[j]
-        inv_a = pa * medium.a_dust400[j] + qa + ra * medium.delta_tau[j]
-        return inv_s, inv_a
+    # Per-lane layer lookups are serialized gathers on TPU (~0.5 ms at 64k
+    # lanes), so fetch each photon's whole +-K layer neighborhood with ONE
+    # one-hot MXU matmul and index the walk steps with scalar dynamic slices.
+    K = cfg.max_layer_steps
+    Wb = shifted_window_table(medium.b400, K)        # (L, 2K+1)
+    Wa = shifted_window_table(medium.a_dust400, K)
+    Wt = shifted_window_table(medium.delta_tau, K)
+    win = onehot_gather(jnp.concatenate([Wb, Wa, Wt], axis=1), j0)
+    w_width = 2 * K + 1
+    winb = win[:, :w_width]
+    wina = win[:, w_width:2 * w_width]
+    wint = win[:, 2 * w_width:]
 
-    def body(_, carry):
-        (cur_j, t_done, t_bound, tau_s, tau_a, done) = carry
-        inv_s, inv_a = inv_lens(cur_j)
-        d_s = t_done + tau_s / inv_s
-        d_a = t_done + tau_a / inv_a
+    def layer_vals(k):
+        """(inv_s, inv_a) of layer j0 + k*dirsign (edge-clamped by table).
+        k is a static python int, so all slicing is static."""
+        b = jnp.where(going_up, winb[:, K + k], winb[:, K - k])
+        a = jnp.where(going_up, wina[:, K + k], wina[:, K - k])
+        dt_ = jnp.where(going_up, wint[:, K + k], wint[:, K - k])
+        return gs * b, pa * a + qa + ra * dt_
+
+    n = state.x.shape[0]
+    zeros = jnp.zeros(n, state.x.dtype)
+
+    # statically unrolled walk (K+1 <= ~17 steps of pure vector math)
+    t_done, t_bound = zeros, t_bound0
+    tau_s, tau_a = sca_budget, abs_budget
+    done = jnp.zeros(n, bool)
+    d_scat, d_abs = zeros, zeros
+    inv_a = jnp.ones(n, state.x.dtype)
+    for k in range(K + 1):
+        inv_s_k, inv_a_k = layer_vals(k)
+        d_s = t_done + tau_s / inv_s_k
+        d_a = t_done + tau_a / inv_a_k
         # stop walking at the extreme layers (the reference extends them to
         # infinity) or when either budget exhausts before the boundary,
         # or once past the segment cap
+        cur_j = j0 + k * dirsign
         at_edge = jnp.where(going_up, cur_j >= L - 1, cur_j <= 0)
         exhaust = t_bound >= jnp.minimum(d_s, d_a)
         past_cap = t_bound >= cfg.max_segment_m
         cross = (~done) & (~at_edge) & (~exhaust) & (~past_cap)
+        finalize = (~done) & (~cross)
+
+        d_scat = jnp.where(finalize, d_s, d_scat)
+        d_abs = jnp.where(finalize, d_a, d_abs)
+        inv_a = jnp.where(finalize, inv_a_k, inv_a)
 
         dt = t_bound - t_done
-        tau_s = jnp.where(cross, tau_s - dt * inv_s, tau_s)
-        tau_a = jnp.where(cross, tau_a - dt * inv_a, tau_a)
+        tau_s = jnp.where(cross, tau_s - dt * inv_s_k, tau_s)
+        tau_a = jnp.where(cross, tau_a - dt * inv_a_k, tau_a)
         t_done = jnp.where(cross, t_bound, t_done)
         t_bound = jnp.where(cross, t_bound + t_step, t_bound)
-        cur_j = jnp.where(cross, cur_j + dirsign, cur_j)
-        done = done | ~cross
-        return (cur_j, t_done, t_bound, tau_s, tau_a, done)
-
-    n = state.x.shape[0]
-    carry = (j0, jnp.zeros(n, state.x.dtype), t_bound0,
-             sca_budget, abs_budget, jnp.zeros(n, bool))
-    carry = jax.lax.fori_loop(0, cfg.max_layer_steps, body, carry)
-    cur_j, t_done, _, tau_s, tau_a, _ = carry
-
-    inv_s, inv_a = inv_lens(cur_j)
-    d_scat = t_done + tau_s / inv_s
-    d_abs = t_done + tau_a / inv_a
+        done = done | finalize
+    # lanes that crossed K times without finalizing: close them with the
+    # outermost window column (only reachable when the cap exceeds what K
+    # layers can span, which the default configuration excludes)
+    inv_s_last, inv_a_last = layer_vals(K)
+    d_scat = jnp.where(done, d_scat, t_done + tau_s / inv_s_last)
+    d_abs = jnp.where(done, d_abs, t_done + tau_a / inv_a_last)
+    inv_a = jnp.where(done, inv_a, inv_a_last)
 
     absorbed = d_abs < d_scat
     d_prop = jnp.minimum(jnp.minimum(d_scat, d_abs), cfg.max_segment_m)
@@ -286,6 +313,12 @@ def _check_collisions(state: SlotState, geo: DetectorGeometry,
                       cfg: PropagationConfig, d_prop, active):
     """Find the closest DOM intersection within d_prop along the ray.
 
+    TPU-native two-level test replacing the reference's cell-grid/z-layer
+    walk (sparse_collision_kernel.c.cl): (1) dense 2-D cull + z cull over all
+    strings -- pure vector math; (2) for the top-K nearest candidate strings,
+    fetch the string's full dense DOM slot table with one one-hot MXU matmul
+    and sphere-test every slot.  No per-lane gathers anywhere.
+
     Returns (hit, hit_dist, hit_dom): hit_dist <= d_prop is the entry-point
     distance smin1 (sparse_collision_kernel.c.cl:109-158), hit_dom the flat
     DOM index."""
@@ -324,52 +357,40 @@ def _check_collisions(state: SlotState, geo: DetectorGeometry,
     hit_dist = d_prop
     hit_dom = jnp.zeros(n, jnp.int32)
 
-    z_end = z + dz * d_prop
-    flat_table = geo.layer_to_dom.reshape(-1)
-    nl_table = geo.layer_to_dom.shape[1]
+    S, M, _ = geo.string_dom_table.shape
+    flat_table = geo.string_dom_table.reshape(S, M * 4)
 
     for _k in range(cfg.strings_per_photon):
         s_idx = jnp.argmin(ranked, axis=1).astype(jnp.int32)       # (N,)
-        s_ok = jnp.take_along_axis(ranked, s_idx[:, None], 1)[:, 0] < BIG
-        ranked = ranked.at[jnp.arange(n), s_idx].set(BIG)
+        s_ok = jnp.min(ranked, axis=1) < BIG
+        ranked = masked_set(ranked, s_idx, BIG)
 
-        lstart = geo.layer_start_z[s_idx]
-        lh = geo.layer_height[s_idx]
-        nl = geo.n_layers[s_idx]
-        lo = jnp.floor((z - lstart) / lh).astype(jnp.int32)
-        hi = jnp.floor((z_end - lstart) / lh).astype(jnp.int32)
-        l_lo = jnp.clip(jnp.minimum(lo, hi), 0, nl - 1)
-        l_hi = jnp.clip(jnp.maximum(lo, hi), 0, nl - 1)
+        row = onehot_gather(flat_table, s_idx).reshape(n, M, 4)
+        ox = row[:, :, 0] - x[:, None]
+        oy = row[:, :, 1] - y[:, None]
+        oz = row[:, :, 2] - z[:, None]
+        slot_dom = row[:, :, 3]
+        valid = (slot_dom >= 0.0) & s_ok[:, None]
 
-        def dom_layer_body(w, carry):
-            hit_found, hit_dist, hit_dom = carry
-            li = l_lo + w
-            in_window = (li <= l_hi) & s_ok
-            dom = flat_table[jnp.clip(s_idx * nl_table + li, 0, flat_table.shape[0] - 1)]
-            valid = in_window & (dom != EMPTY)
-            dom_c = jnp.clip(dom, 0, geo.dom_x.shape[0] - 1)
-            ox = geo.dom_x[dom_c] - x
-            oy = geo.dom_y[dom_c] - y
-            oz = geo.dom_z[dom_c] - z
-            dr2 = ox * ox + oy * oy + oz * oz
-            urdot = ox * dx + oy * dy + oz * dz
-            discr = urdot * urdot - dr2 + R2
-            sq = safe_sqrt(discr) / pancake
-            smin1 = urdot - sq
-            smin2 = urdot + sq
-            good = valid & (discr >= 0.0) & (smin2 >= 0.0) & (smin1 >= 0.0) \
-                 & (smin1 < hit_dist)
-            hit_found = hit_found | good
-            hit_dist = jnp.where(good, smin1, hit_dist)
-            hit_dom = jnp.where(good, dom_c, hit_dom)
-            return hit_found, hit_dist, hit_dom
+        dr2 = ox * ox + oy * oy + oz * oz
+        urdot = ox * dx[:, None] + oy * dy[:, None] + oz * dz[:, None]
+        discr = urdot * urdot - dr2 + R2
+        sq = safe_sqrt(discr) / pancake
+        smin1 = urdot - sq
+        smin2 = urdot + sq
+        good = valid & (discr >= 0.0) & (smin2 >= 0.0) & (smin1 >= 0.0) \
+             & (smin1 < hit_dist[:, None])
+        sm = jnp.where(good, smin1, BIG)
+        best = jnp.min(sm, axis=1)
+        jm = jnp.argmin(sm, axis=1)
+        # dom id of the winner without a per-lane row gather
+        cols = jax.lax.broadcasted_iota(jnp.int32, sm.shape, 1)
+        dom_best = jnp.sum(jnp.where(cols == jm[:, None], slot_dom, 0.0), axis=1)
 
-        # the window must cover the z extent of a full-length segment:
-        # ceil(max_segment / smallest per-string layer height) + 2
-        needed = int(cfg.max_segment_m / geo.min_layer_height) + 3
-        max_w = min(needed, geo.layer_to_dom.shape[1])
-        hit_found, hit_dist, hit_dom = jax.lax.fori_loop(
-            0, max_w, dom_layer_body, (hit_found, hit_dist, hit_dom))
+        found = best < BIG
+        hit_found = hit_found | found
+        hit_dom = jnp.where(found, dom_best.astype(jnp.int32), hit_dom)
+        hit_dist = jnp.where(found, best, hit_dist)
 
     return hit_found, hit_dist, hit_dom
 
@@ -425,7 +446,8 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
 
     # --- record hits ---
     step_weight = steps.weight
-    bias = jnp.interp(state.wlen, spectra.bias_x, spectra.bias_y)
+    from ..ops.lookup import interp_onehot
+    bias = interp_onehot(state.wlen, spectra.bias_x, spectra.bias_y)
     w_hit = jnp.where(hit & active, step_weight / jnp.maximum(bias, 1e-20), 0.0)
     if cfg.estimator == "expected":
         # continuous-absorption estimator: instead of killing the photon at a
@@ -442,16 +464,17 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
     tbin_f = (t_hit - cfg.hist_t_min) / cfg.hist_dt
     tbin = jnp.clip(tbin_f.astype(jnp.int32), 0, cfg.hist_n_bins - 1)
     flat_idx = hit_dom * cfg.hist_n_bins + tbin
+    cap = cfg.hit_compact_capacity
     if cfg.soft_binning:
         frac_hi = jnp.clip(tbin_f - jnp.floor(tbin_f), 0.0, 1.0)
         tbin_lo = jnp.clip(jnp.floor(tbin_f).astype(jnp.int32), 0, cfg.hist_n_bins - 1)
         tbin_hi = jnp.clip(tbin_lo + 1, 0, cfg.hist_n_bins - 1)
-        hist = acc.hist.at[hit_dom * cfg.hist_n_bins + tbin_lo].add(
-            w_hit * (1.0 - frac_hi), mode="drop")
-        hist = hist.at[hit_dom * cfg.hist_n_bins + tbin_hi].add(
-            w_hit * frac_hi, mode="drop")
+        hist = compact_scatter_add(acc.hist, hit_dom * cfg.hist_n_bins + tbin_lo,
+                                   w_hit * (1.0 - frac_hi), cap)
+        hist = compact_scatter_add(hist, hit_dom * cfg.hist_n_bins + tbin_hi,
+                                   w_hit * frac_hi, cap)
     else:
-        hist = acc.hist.at[flat_idx].add(w_hit, mode="drop")
+        hist = compact_scatter_add(acc.hist, flat_idx, w_hit, cap)
     acc = acc._replace(
         hist=hist,
         n_hits=acc.n_hits + jnp.sum((hit & active).astype(jnp.float32)),
@@ -495,8 +518,7 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
             group_velocity=1.0 / state.inv_groupvel,
             dist_in_abs_lens=state.abs_lens_initial - state.abs_lens_left,
         )
-        rec = {k: v.at[jnp.arange(n), slot_pos].set(
-                   jnp.where(rec_mask, vals[k], v[jnp.arange(n), slot_pos]))
+        rec = {k: ring_write(v, slot_pos, vals[k], rec_mask)
                for k, v in acc.rec.items()}
         acc = acc._replace(
             rec=rec,

@@ -129,6 +129,9 @@ class PropagationConfig:
     estimator: str = "detect"       # "detect": faithful clsim accept/reject;
                                     # "expected": continuous-absorption
                                     # pass-through weights (differentiable)
+    hit_compact_capacity: int = 0   # >0: top_k-compact hits before the
+                                    # histogram scatter (TPU: scatters
+                                    # serialize per update); 0 = full scatter
     fixed_abs_lens: float = 0.0     # >0: PROPAGATE_FOR_FIXED_NUMBER_OF_
                                     # ABSORPTION_LENGTHS (tabulator mode)
     # time histogram
