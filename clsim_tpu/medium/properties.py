@@ -81,6 +81,15 @@ class MediumProperties(NamedTuple):
     min_wlen: float = 265.0         # static [nm]
     max_wlen: float = 675.0         # static [nm]
 
+    # water media ("water" kind): the whole wavelength dependence lives in
+    # uniform tables and the per-layer coefficients are unit/zero, so the
+    # same separable interface serves both medium families
+    medium_kind: str = "icecube"    # static: "icecube" | "water"
+    water_wlen_first: float = 290.0  # static [nm]
+    water_wlen_step: float = 10.0    # static [nm]
+    water_scat_inv: Optional[jnp.ndarray] = None   # (nw,) 1/m
+    water_abs_inv: Optional[jnp.ndarray] = None    # (nw,) 1/m
+
     # ------------------------------------------------------------------
     # property evaluation
     # ------------------------------------------------------------------
@@ -91,14 +100,32 @@ class MediumProperties(NamedTuple):
     def layer_bottom_z(self, layer):
         return self.layers_z_start + layer.astype(jnp.float32) * self.layer_height
 
+    def _water_table(self, table, wlen_nm):
+        """Uniform-grid table eval via one-hot matmul (TPU: no gathers)."""
+        from ..ops.lookup import onehot_gather
+        nw = table.shape[0]
+        xi = (wlen_nm - self.water_wlen_first) / self.water_wlen_step
+        i0 = jnp.clip(jnp.floor(xi).astype(jnp.int32), 0, nw - 2)
+        frac = jnp.clip(xi - i0.astype(jnp.float32), 0.0, 1.0)
+        pair = jnp.stack([table[:-1], table[1:]], axis=1)
+        rows = onehot_gather(pair, i0)
+        return rows[..., 0] + frac * (rows[..., 1] - rows[..., 0])
+
     def abs_coeffs(self, wlen_nm):
         """Separable wavelength factors (pa, qa, ra) of the inverse absorption
-        length: 1/l_abs[layer] = pa*a_dust400[layer] + qa + ra*delta_tau[layer]."""
+        length: 1/l_abs[layer] = pa*a_dust400[layer] + qa + ra*delta_tau[layer].
+        Water media: (0, table(lambda), 0)."""
+        if self.medium_kind == "water":
+            zero = jnp.zeros_like(jnp.asarray(wlen_nm))
+            return zero, self._water_table(self.water_abs_inv, wlen_nm), zero
         return F.abs_separable_coeffs(self.kappa, self.abs_A, self.abs_B,
                                       self.abs_D, self.abs_E, wlen_nm)
 
     def scat_coeff(self, wlen_nm):
-        """Wavelength factor gs of 1/l_sca[layer] = gs*b400[layer]."""
+        """Wavelength factor gs of 1/l_sca[layer] = gs*b400[layer].
+        Water media: the particulate+water table (b400 == 1)."""
+        if self.medium_kind == "water":
+            return self._water_table(self.water_scat_inv, wlen_nm)
         return F.scat_separable_coeff(self.alpha, wlen_nm)
 
     def inv_scattering_length(self, layer, wlen_nm):
@@ -118,7 +145,9 @@ class MediumProperties(NamedTuple):
         return C_LIGHT / self.group_ref_index(wlen_nm)
 
 
-register_static_fields(MediumProperties, ["n_layers", "min_wlen", "max_wlen"])
+register_static_fields(MediumProperties,
+                       ["n_layers", "min_wlen", "max_wlen", "medium_kind",
+                        "water_wlen_first", "water_wlen_step"])
 
 
 def make_homogeneous_ice(n_layers: int = 2,

@@ -119,3 +119,28 @@ def sample_interpolated_dist(tables, u):
                     jnp.where(b_zero, r_b_zero,
                               jnp.where(s_zero, r_s_zero, r_full)))
     return out
+
+
+def sample_interpolated_fast(x, acu, beta, u):
+    """Gather-free (one-hot matmul) version of sample_interpolated_dist for
+    use inside the TPU propagation loop; identical math."""
+    from .lookup import onehot_gather
+    n = x.shape[0]
+    k = jnp.clip(jnp.sum((acu <= u[..., None]).astype(jnp.int32), axis=-1) - 1,
+                 0, n - 2)
+    seg = jnp.stack([x[:-1], x[1:], beta[:-1], beta[1:], acu[:-1]], axis=1)
+    rows = onehot_gather(seg, k)
+    x0, x1, b, b1, acu0 = (rows[..., i] for i in range(5))
+    slope = (b1 - b) / (x1 - x0)
+    dy = u - acu0
+    eps = 1e-20
+    s_zero = jnp.abs(slope) < eps
+    b_zero = jnp.abs(b) < eps
+    safe_slope = jnp.where(s_zero, 1.0, slope)
+    safe_b = jnp.where(b_zero, 1.0, b)
+    r_full = x0 + (jnp.sqrt(jnp.maximum(
+        dy * 2.0 * safe_slope / (safe_b * safe_b) + 1.0, 0.0)) - 1.0) * safe_b / safe_slope
+    r_bz = x0 + jnp.sqrt(jnp.maximum(2.0 * dy / safe_slope, 0.0))
+    r_sz = x0 + dy / safe_b
+    return jnp.where(b_zero & s_zero, x0,
+                     jnp.where(b_zero, r_bz, jnp.where(s_zero, r_sz, r_full)))

@@ -49,7 +49,8 @@ from ..ops.lookup import (compact_scatter_add, masked_set, onehot_gather,
                           ring_write, shifted_window_table)
 from ..ops.rotations import (cart_to_sph, safe_sqrt,
                              scatter_direction_by_angle)
-from ..ops.samplers import mixed_cos, rayleigh_cos, sample_interpolated_dist
+from ..ops.samplers import (mixed_cos, rayleigh_cos,
+                            sample_interpolated_fast)
 from ..ops.spectrum import (SpectrumTable, sample_wavelength_dispatch,
                             wavelength_bias)
 from ..types import PhotonBatch, PropagationConfig, StepBatch
@@ -541,11 +542,16 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
         cos_s = mixed_cos(medium.scattering.mean_cos,
                           medium.scattering.liu_fraction, u[5], u[6])
     else:
-        tab = sample_interpolated_dist(
-            (medium.scattering.table_cos, medium.scattering.table_cdf,
-             jnp.ones_like(medium.scattering.table_cos)), u[6])
+        # water: liu_fraction is the Rayleigh fraction; the complement is a
+        # tabulated (Petzold) angle distribution, sampled via the one-hot
+        # interpolated-CDF path and converted with cos
+        angle = sample_interpolated_fast(
+            medium.scattering.table_cos,
+            medium.scattering.table_cdf[0], medium.scattering.table_cdf[1],
+            u[6])
         ray = rayleigh_cos(u[6])
-        cos_s = jnp.where(u[5] < medium.scattering.liu_fraction, tab, ray)
+        cos_s = jnp.where(u[5] < medium.scattering.liu_fraction, ray,
+                          jnp.cos(angle))
     sin_s = safe_sqrt(1.0 - cos_s * cos_s)
     sdx, sdy, sdz = scatter_direction_by_angle(cos_s, sin_s, pdx, pdy, pdz, u[7])
     sdx, sdy, sdz = post_scatter_transform(medium.anisotropy, sdx, sdy, sdz)

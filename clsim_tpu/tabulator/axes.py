@@ -1,0 +1,109 @@
+"""Tabulator binning axes.
+
+Equivalent of the reference's clsim::tabulator::Axis/Axes
+(private/clsim/tabulator/Axis.{h,cxx}, Axes.{h,cxx}): each axis maps a
+coordinate to a bin via an invertible transform (linear or power-law
+spacing); every axis carries an under- and an overflow bin; the composed
+bin index uses row-major strides.  Index semantics replicate GetIndexCode
+(Axis.cxx:46-59): clamp(floor(scale*invtransform(v) - offset), -1, n) + 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Axis:
+    """Axis with n_bins regular bins in transformed space plus under/overflow."""
+    min: float
+    max: float
+    n_bins: int
+    power: int = 1  # 1 = linear; p > 1 = edges clustered toward min
+
+    def inverse_transform(self, v):
+        """non-linear -> linear space (PowerAxis: (v-min)^(1/p))."""
+        if self.power == 1:
+            return v
+        return jnp.sign(v - self.min) * jnp.abs(v - self.min) ** (1.0 / self.power)
+
+    def _inv_np(self, v):
+        if self.power == 1:
+            return np.asarray(v, np.float64)
+        return np.sign(v - self.min) * np.abs(np.asarray(v, np.float64) - self.min) ** (1.0 / self.power)
+
+    def bin_index(self, v):
+        """Bin index incl. overflow handling: 0=underflow, 1..n, n+1=overflow."""
+        scale = self.n_bins / (self._inv_np(self.max) - self._inv_np(self.min))
+        offset = scale * self._inv_np(self.min)
+        raw = jnp.floor(scale * self.inverse_transform(v) - offset).astype(jnp.int32)
+        return jnp.clip(raw, -1, self.n_bins) + 1
+
+    def bin_edges(self) -> np.ndarray:
+        imin, imax = self._inv_np(self.min), self._inv_np(self.max)
+        lin = np.linspace(imin, imax, self.n_bins + 1)
+        if self.power == 1:
+            return lin
+        return self.min + lin ** self.power
+
+    @property
+    def n_total(self):
+        return self.n_bins + 2
+
+
+class SphericalAxes:
+    """(r, azimuth[deg, folded to 0..180], cos(polar), residual time) axes --
+    the standard photon-table binning (Axes.cxx SphericalAxes)."""
+
+    def __init__(self, axes: Sequence[Axis]):
+        if len(axes) != 4:
+            raise ValueError("SphericalAxes needs 4 axes (r, az, cosz, t)")
+        self.axes = list(axes)
+        self.shape = tuple(a.n_total for a in self.axes)
+        strides = [0] * 4
+        strides[3] = 1
+        for i in (2, 1, 0):
+            strides[i] = strides[i + 1] * self.shape[i + 1]
+        self.strides = tuple(strides)
+        self.n_bins = self.strides[0] * self.shape[0]
+
+    def flat_index(self, coords):
+        idx = 0
+        for a, s, c in zip(self.axes, self.strides, coords):
+            idx = idx + s * a.bin_index(c)
+        return idx
+
+    def out_of_bounds(self, coords):
+        """Photons beyond the radius or time range stop contributing
+        (Axes.cxx GetBoundsCheckFunction: r > r_max or t > t_max)."""
+        return (coords[0] > self.axes[0].max) | (coords[3] > self.axes[3].max)
+
+    def bin_volumes(self) -> np.ndarray:
+        """Spatial bin volume per (r, az, cosz) cell; azimuthal bins count
+        double when the table folds at 180 deg (Axes.cxx:122-134)."""
+        r_edges = self.axes[0].bin_edges()
+        az_edges = self.axes[1].bin_edges()
+        ct_edges = self.axes[2].bin_edges()
+        scale = 1.0 if self.axes[1].max > 180.0 else 2.0
+        vr = np.diff(r_edges ** 3) / 3.0
+        vaz = scale * np.deg2rad(np.diff(az_edges))
+        vct = np.diff(ct_edges)
+        return vr[:, None, None] * vaz[None, :, None] * vct[None, None, :]
+
+
+def default_spherical_axes(r_max: float = 580.0, t_max: float = 7000.0
+                           ) -> SphericalAxes:
+    """The standard photon-table binning used by the reference's tabulator
+    segment (python/tablemaker/tabulator.py): power-2 radius, linear azimuth
+    and cos(zenith), power-2 time."""
+    return SphericalAxes([
+        Axis(0.0, r_max, 200, power=2),
+        Axis(0.0, 180.0, 36, power=1),
+        Axis(-1.0, 1.0, 100, power=1),
+        Axis(0.0, t_max, 105, power=2),
+    ])

@@ -1,0 +1,267 @@
+"""Photon-table generation (the reference's TABULATE mode).
+
+Equivalent of I3CLSimStepToTableConverter + the #ifdef TABULATE branch of the
+propagation kernel (propagation_kernel.c.cl:226-304, 540-785): photons are
+propagated for a fixed number of absorption lengths (no detector collision);
+every `step_length` (1 m) along each scattering segment a table entry is
+deposited at the source-relative spherical coordinates with weight
+
+    w * angular_acceptance(dir_z) * exp(-(depth + frac * stepDepth))
+
+(survival probability in absorption lengths, linearly interpolated within
+the segment).  The first sub-step of each photon is randomized to decorrelate
+the comb from the emission point (kernel:562).
+
+Normalization divides each spatial cell by bin_volume/(step_length*dom_area)
+(I3CLSimStepToTableConverter.cxx:513-540).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import PI
+from ..geometry import DetectorGeometry
+from ..medium.properties import MediumProperties
+from ..medium.anisotropy import abs_len_scaling
+from ..ops import rng
+from ..ops.spectrum import SpectrumTable
+from ..propagate import engine as E
+from ..types import PropagationConfig, StepBatch
+from .axes import SphericalAxes
+
+
+class ReferenceSource(NamedTuple):
+    """Source frame for the table coordinates (I3CLSimReferenceParticle):
+    position, direction, and a perpendicular reference direction."""
+    pos: jnp.ndarray      # (3,)
+    time: jnp.ndarray     # ()
+    dir: jnp.ndarray      # (3,) unit
+    perp: jnp.ndarray     # (3,) unit, perpendicular to dir
+
+
+def make_reference_source(x, y, z, t, zenith, azimuth) -> ReferenceSource:
+    """Build the source frame like the tabulator does from a particle."""
+    d = np.array([-np.sin(zenith) * np.cos(azimuth),
+                  -np.sin(zenith) * np.sin(azimuth),
+                  -np.cos(zenith)])
+    # a perpendicular direction (the reference uses the cross with z unless
+    # degenerate)
+    up = np.array([0.0, 0.0, 1.0])
+    perp = np.cross(d, up)
+    if np.linalg.norm(perp) < 1e-9:
+        perp = np.array([1.0, 0.0, 0.0])
+    perp = perp / np.linalg.norm(perp)
+    return ReferenceSource(pos=jnp.asarray([x, y, z], jnp.float32),
+                           time=jnp.asarray(t, jnp.float32),
+                           dir=jnp.asarray(d, jnp.float32),
+                           perp=jnp.asarray(perp, jnp.float32))
+
+
+def _spherical_coords(px, py, pz, pt, source: ReferenceSource,
+                      min_inv_groupvel):
+    """Source-relative (r, azimuth_deg, cos_polar, residual_t); the azimuth
+    is folded to [0, 180] (spherical_coordinates.c.cl:28-66)."""
+    rx = px - source.pos[0]
+    ry = py - source.pos[1]
+    rz = pz - source.pos[2]
+    r = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+    l = rx * source.dir[0] + ry * source.dir[1] + rz * source.dir[2]
+    hx = rx - l * source.dir[0]
+    hy = ry - l * source.dir[1]
+    hz = rz - l * source.dir[2]
+    n_rho = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+    cos_az = (hx * source.perp[0] + hy * source.perp[1] + hz * source.perp[2]) \
+        / jnp.maximum(n_rho, 1e-20)
+    azimuth = jnp.where(n_rho > 0,
+                        jnp.arccos(jnp.clip(cos_az, -1.0, 1.0)) / (PI / 180.0),
+                        0.0)
+    cos_polar = jnp.where(r > 0, l / jnp.maximum(r, 1e-20), 0.0)
+    dt = (pt - source.time) - r * min_inv_groupvel
+    return r, azimuth, cos_polar, dt
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "axes", "step_length"))
+def _tabulate_batch(steps: StepBatch, medium: MediumProperties,
+                    spectra: SpectrumTable, source: ReferenceSource,
+                    angular_coeffs, key, cfg: PropagationConfig,
+                    axes: SphericalAxes, step_length: float,
+                    min_inv_groupvel):
+    """Propagate one slot-assigned batch in table mode and return the raw
+    (unnormalized) flat bin contents."""
+    n = steps.x.shape[0]
+    state = E._init_state(steps)
+    content = jnp.zeros(axes.n_bins, jnp.float32)
+    max_substeps = int(cfg.max_segment_m / step_length) + 2
+
+    from ..medium.functions import eval_polynomial
+
+    def cond(carry):
+        _, state, _, _ = carry
+        return jnp.any(state.in_flight | (state.photons_left > 0))
+
+    def body(carry):
+        i, state, content, remainder = carry
+        u = rng.uniforms(rng.iter_key(key, i), (n,), 9)
+
+        fresh = (~state.in_flight) & (state.photons_left > 0)
+        state = E._create_photons(state, steps, medium, spectra, cfg, u[:4],
+                                  fresh)
+        state = state._replace(
+            in_flight=state.in_flight | fresh,
+            photons_left=state.photons_left - fresh.astype(jnp.int32))
+        # randomize the first sub-step offset per new photon (kernel:562)
+        remainder = jnp.where(fresh, step_length * (1.0 - u[8]), remainder)
+
+        active = state.in_flight
+        abs_corr = abs_len_scaling(medium.anisotropy, state.dx, state.dy,
+                                   state.dz)
+        sca_budget = -jnp.log(rng.uniform_oc(u[4]))
+        abs_budget = state.abs_lens_left * abs_corr
+        d_prop, absorbed, scattered, abs_left = E._segment_distances(
+            state, medium, cfg, sca_budget, abs_budget)
+        abs_left = abs_left / abs_corr
+
+        depth_start = state.abs_lens_initial - state.abs_lens_left
+        step_depth = state.abs_lens_left - abs_left
+
+        impact = steps.weight * eval_polynomial(angular_coeffs,
+                                                jnp.clip(state.dz, -1, 1))
+
+        # deposit at substeps remainder, remainder+dl, ... < d_prop
+        new_remainder = remainder
+        for m in range(max_substeps):
+            d = remainder + m * step_length
+            in_seg = (d < d_prop) & active
+            px = state.x + d * state.dx
+            py = state.y + d * state.dy
+            pz = state.z + d * state.dz
+            pt = state.t + d * state.inv_groupvel
+            r, az, ct, dt = _spherical_coords(px, py, pz, pt, source,
+                                              min_inv_groupvel)
+            oob = axes.out_of_bounds((r, az, ct, dt))
+            frac = d / jnp.maximum(d_prop, 1e-20)
+            w = jnp.where(in_seg & ~oob,
+                          impact * jnp.exp(-(depth_start + frac * step_depth)),
+                          0.0)
+            idx = axes.flat_index((r, az, ct, dt))
+            content = content.at[jnp.clip(idx, 0, axes.n_bins - 1)].add(
+                w, mode="drop")
+            # photons that leave the table bounds stop propagating
+            state = state._replace(
+                in_flight=state.in_flight & ~(in_seg & oob))
+            new_remainder = jnp.where(in_seg, d + step_length - d_prop,
+                                      new_remainder)
+        remainder = jnp.where(active, new_remainder, remainder)
+
+        # advance / absorb / scatter (same flow as the main engine)
+        state = state._replace(
+            x=state.x + jnp.where(active, state.dx * d_prop, 0.0),
+            y=state.y + jnp.where(active, state.dy * d_prop, 0.0),
+            z=state.z + jnp.where(active, state.dz * d_prop, 0.0),
+            t=state.t + jnp.where(active, state.inv_groupvel * d_prop, 0.0),
+            total_path=state.total_path + jnp.where(active, d_prop, 0.0),
+            abs_lens_left=jnp.where(active, abs_left, state.abs_lens_left))
+
+        do_scatter = scattered & active
+        from ..medium.anisotropy import (post_scatter_transform,
+                                         pre_scatter_transform)
+        from ..ops.rotations import scatter_direction_by_angle, safe_sqrt
+        from ..ops.samplers import mixed_cos
+        pdx, pdy, pdz = pre_scatter_transform(medium.anisotropy, state.dx,
+                                              state.dy, state.dz)
+        cos_s = mixed_cos(medium.scattering.mean_cos,
+                          medium.scattering.liu_fraction, u[5], u[6])
+        sin_s = safe_sqrt(1.0 - cos_s * cos_s)
+        sdx, sdy, sdz = scatter_direction_by_angle(cos_s, sin_s, pdx, pdy,
+                                                   pdz, u[7])
+        sdx, sdy, sdz = post_scatter_transform(medium.anisotropy, sdx, sdy, sdz)
+        state = state._replace(
+            dx=jnp.where(do_scatter, sdx, state.dx),
+            dy=jnp.where(do_scatter, sdy, state.dy),
+            dz=jnp.where(do_scatter, sdz, state.dz))
+
+        died = active & (absorbed | (state.abs_lens_left < E.EPSILON))
+        state = state._replace(in_flight=state.in_flight & ~died)
+        return (i + 1, state, content, remainder)
+
+    i0 = jnp.zeros((), jnp.int32)
+    remainder0 = jnp.zeros(n, jnp.float32)
+    _, _, content, _ = jax.lax.while_loop(cond, body,
+                                          (i0, state, content, remainder0))
+    return content
+
+
+class PhotonTable(NamedTuple):
+    values: np.ndarray        # normalized contents, shape axes.shape
+    weights_sq: Optional[np.ndarray]
+    axes: object
+    n_photons: float
+    header: dict
+
+
+def tabulate(step_batches, medium: MediumProperties, spectra: SpectrumTable,
+             source: ReferenceSource, seed: int,
+             axes: Optional[SphericalAxes] = None,
+             angular_coeffs=None,
+             cfg: Optional[PropagationConfig] = None,
+             step_length: float = 1.0,
+             abs_lens_horizon: float = 46.0,
+             dom_radius: float = 0.16510) -> PhotonTable:
+    """Generate a photon table from slot-assigned step batches (the
+    TabulatePhotonsFromSource equivalent, python/tablemaker/tabulator.py:441)."""
+    from .axes import default_spherical_axes
+    from ..hits.acceptance import dom_angular_sensitivity
+
+    axes = axes or default_spherical_axes()
+    if angular_coeffs is None:
+        angular_coeffs = dom_angular_sensitivity()
+    cfg = cfg or PropagationConfig(n_slots=int(step_batches[0].x.shape[0]))
+    import dataclasses as dc
+    cfg = dc.replace(cfg, fixed_abs_lens=abs_lens_horizon,
+                     stop_on_detection=False)
+
+    wl = np.linspace(medium.min_wlen, medium.max_wlen, 128)
+    min_inv_gv = float(np.min(1.0 / np.asarray(
+        jax.vmap(medium.group_velocity)(jnp.asarray(wl, jnp.float32)))))
+
+    key = jax.random.PRNGKey(seed)
+    total = np.zeros(axes.n_bins, np.float64)
+    n_photons = 0.0
+    for i, batch in enumerate(step_batches):
+        b = StepBatch(*[jnp.asarray(f) for f in batch])
+        content = _tabulate_batch(b, medium, spectra, source, angular_coeffs,
+                                  jax.random.fold_in(key, i), cfg, axes,
+                                  float(step_length),
+                                  jnp.float32(min_inv_gv))
+        total += np.asarray(content, np.float64)
+        n_photons += float(np.asarray(batch.num_photons).sum())
+
+    # normalize spatial cells: content /= bin_volume/(step_length*dom_area)
+    values = total.reshape(axes.shape)
+    vol = axes.bin_volumes()  # (nr, naz, nct) for the inner data bins
+    dom_area = PI * dom_radius ** 2
+    norm = np.ones(axes.shape[:3])
+    norm[1:-1, 1:-1, 1:-1] = vol / (step_length * dom_area)
+    values = values / norm[..., None]
+
+    header = dict(n_photons=n_photons, step_length=step_length,
+                  abs_lens_horizon=abs_lens_horizon, dom_radius=dom_radius,
+                  seed=seed)
+    return PhotonTable(values=values, weights_sq=None, axes=axes,
+                       n_photons=n_photons, header=header)
+
+
+def save_table_npz(table: PhotonTable, path: str):
+    """Persist a photon table (.npz with values, bin edges and header --
+    the FITS writer analog, I3CLSimStepToTableConverter.cxx:593-686)."""
+    np.savez_compressed(
+        path, values=table.values,
+        **{f"edges_{i}": a.bin_edges() for i, a in enumerate(table.axes.axes)},
+        **{f"header_{k}": v for k, v in table.header.items()})

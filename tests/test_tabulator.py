@@ -1,0 +1,84 @@
+"""Photon-table (tabulator) tests: axis semantics, coordinate binning, and a
+physics check of the direct-light peak position."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from clsim_tpu.medium.properties import make_homogeneous_ice
+from clsim_tpu.tabulator import (Axis, SphericalAxes, default_spherical_axes,
+                                 make_reference_source, save_table_npz,
+                                 tabulate)
+from clsim_tpu.types import PropagationConfig
+from tests.test_engine import _beam_steps, _spectra
+
+
+def test_axis_semantics():
+    a = Axis(0.0, 100.0, 10, power=1)
+    assert int(a.bin_index(jnp.float32(-5.0))) == 0      # underflow
+    assert int(a.bin_index(jnp.float32(5.0))) == 1       # first bin
+    assert int(a.bin_index(jnp.float32(95.0))) == 10
+    assert int(a.bin_index(jnp.float32(150.0))) == 11    # overflow
+    p = Axis(0.0, 100.0, 10, power=2)
+    edges = p.bin_edges()
+    assert edges[0] == 0.0 and edges[-1] == pytest.approx(100.0)
+    # power-2 spacing clusters near 0
+    assert edges[1] < 10.0
+
+
+def test_spherical_axes_strides():
+    ax = default_spherical_axes()
+    assert ax.n_bins == np.prod(ax.shape)
+    idx = ax.flat_index((jnp.float32(10.0), jnp.float32(90.0),
+                         jnp.float32(0.0), jnp.float32(100.0)))
+    assert 0 <= int(idx) < ax.n_bins
+
+
+def test_tabulate_direct_light_peak():
+    """A weak-scattering beam along +x must fill the cos(polar)~1... actually
+    along the source direction: bins at small radius get direct light with
+    near-zero residual time."""
+    medium = make_homogeneous_ice(b400=0.005, a_dust400=0.01)
+    spectra = _spectra()
+    cfg = PropagationConfig(n_slots=128, max_segment_m=30.0,
+                            max_layer_steps=6)
+    steps = _beam_steps(cfg.n_slots, 4, direction=(1.0, 0.0, 0.0))
+    source = make_reference_source(0.0, 0.0, 0.0, 0.0,
+                                   zenith=np.pi / 2, azimuth=np.pi)  # +x
+    axes = SphericalAxes([
+        Axis(0.0, 200.0, 20, power=2),
+        Axis(0.0, 180.0, 6),
+        Axis(-1.0, 1.0, 10),
+        Axis(0.0, 2000.0, 20, power=2),
+    ])
+    table = tabulate([steps], medium, spectra, source, seed=5, axes=axes,
+                     cfg=cfg)
+    vals = table.values
+    assert vals.shape == axes.shape
+    assert np.isfinite(vals).all()
+    assert vals.sum() > 0
+    # direct light: the on-axis cos(polar)=1 bins dominate over backward bins
+    forward = vals[:, :, -2, :].sum()   # cos in last data bin (~1)
+    backward = vals[:, :, 1, :].sum()   # cos near -1
+    assert forward > 10 * backward
+    # residual time of direct light is in the first time bin
+    # (delay ~ 0 along the axis)
+    r_slice = vals[1:-1, :, -2, 1:-1]
+    t_profile = r_slice.sum(axis=(0, 1))
+    assert t_profile.argmax() == 0
+
+
+def test_save_table(tmp_path):
+    medium = make_homogeneous_ice(b400=0.01, a_dust400=0.02)
+    spectra = _spectra()
+    cfg = PropagationConfig(n_slots=32, max_segment_m=30.0, max_layer_steps=6)
+    steps = _beam_steps(cfg.n_slots, 2)
+    source = make_reference_source(0, 0, 0, 0, np.pi / 2, np.pi)
+    axes = SphericalAxes([Axis(0, 100, 10, 2), Axis(0, 180, 4),
+                          Axis(-1, 1, 5), Axis(0, 1000, 10, 2)])
+    table = tabulate([steps], medium, spectra, source, seed=1, axes=axes,
+                     cfg=cfg)
+    path = tmp_path / "table.npz"
+    save_table_npz(table, str(path))
+    loaded = np.load(path)
+    np.testing.assert_array_equal(loaded["values"], table.values)
