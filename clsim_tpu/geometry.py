@@ -58,6 +58,16 @@ class DetectorGeometry(NamedTuple):
     # strings instead of walking z-layers (see propagate/engine.py)
     string_dom_table: jnp.ndarray
 
+    # precision-split collision tables (the MXU rounds float matmul outputs
+    # to bfloat16, so absolute positions cannot ride a float one-hot fetch):
+    #  * string_features (S, 8): x, y, min_z, max_z, z0_fit, dz_fit,
+    #    dom_offset, n_doms -- fetched bit-exactly via byte-split int8 matmul
+    #  * string_dom_rel (S, M, 4): dx, dy, dz residuals vs the string
+    #    position / fitted z grid (|res| ~ meters -> bf16 fetch error ~cm)
+    #    and a validity flag; flat DOM index = dom_offset + slot
+    string_features: jnp.ndarray
+    string_dom_rel: jnp.ndarray
+
     om_radius: float             # nominal DOM radius [m] (static)
     oversize: float              # oversize factor (static)
     max_string_r: float          # global max of string_max_r (static)
@@ -97,6 +107,13 @@ def build_geometry(string_ids, om_ids, xs, ys, zs,
     n = len(xs)
     if not (len(ys) == len(zs) == len(string_ids) == len(om_ids) == n):
         raise ValueError("geometry arrays must have equal length")
+
+    # group DOMs by string in the flat arrays so a DOM's flat index is
+    # string_dom_offset + slot (computed arithmetically in the engine)
+    order = np.argsort(string_ids, kind="stable")
+    string_ids = string_ids[order]
+    om_ids = om_ids[order]
+    xs, ys, zs = xs[order], ys[order], zs[order]
 
     r_col = om_radius * oversize
 
@@ -162,12 +179,33 @@ def build_geometry(string_ids, om_ids, xs, ys, zs,
     max_doms = max(int((string_ids == sid).sum()) for sid in unique_strings)
     dom_table = np.zeros((n_strings, max_doms, 4), np.float32)
     dom_table[:, :, 3] = -1.0
+    string_features = np.zeros((n_strings, 8), np.float32)
+    dom_rel = np.zeros((n_strings, max_doms, 4), np.float32)
     for si, sid in enumerate(unique_strings):
         sel = np.nonzero(string_ids == sid)[0]
         dom_table[si, :len(sel), 0] = xs[sel]
         dom_table[si, :len(sel), 1] = ys[sel]
         dom_table[si, :len(sel), 2] = zs[sel]
         dom_table[si, :len(sel), 3] = sel.astype(np.float32)
+
+        # least-squares z grid fit; residuals go into the bf16-fetched table
+        k = np.arange(len(sel), dtype=np.float64)
+        if len(sel) > 1:
+            dz_fit, z0_fit = np.polyfit(k, zs[sel], 1)
+        else:
+            dz_fit, z0_fit = 0.0, zs[sel][0]
+        string_features[si] = [s_x[si], s_y[si], s_minz[si], s_maxz[si],
+                               z0_fit, dz_fit, float(sel[0]), float(len(sel))]
+        dom_rel[si, :len(sel), 0] = xs[sel] - s_x[si]
+        dom_rel[si, :len(sel), 1] = ys[sel] - s_y[si]
+        dom_rel[si, :len(sel), 2] = zs[sel] - (z0_fit + dz_fit * k)
+        dom_rel[si, :len(sel), 3] = 1.0
+        max_res = np.abs(dom_rel[si, :len(sel), :3]).max() if len(sel) else 0.0
+        if max_res > 30.0:
+            raise ValueError(
+                f"string {sid}: DOM positions deviate {max_res:.1f} m from "
+                "the per-string grid fit; bf16 residual fetch would lose "
+                "centimeter precision (restructure the string grouping)")
 
     return DetectorGeometry(
         dom_x=jnp.asarray(xs, jnp.float32),
@@ -185,6 +223,8 @@ def build_geometry(string_ids, om_ids, xs, ys, zs,
         n_layers=jnp.asarray(n_layers),
         layer_to_dom=jnp.asarray(layer_to_dom, jnp.int32),
         string_dom_table=jnp.asarray(dom_table),
+        string_features=jnp.asarray(string_features),
+        string_dom_rel=jnp.asarray(dom_rel),
         om_radius=float(om_radius),
         oversize=float(oversize),
         max_string_r=float(s_maxr.max()),

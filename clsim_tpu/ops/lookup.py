@@ -27,8 +27,53 @@ def onehot_gather(table, idx, dtype=jnp.float32):
     squeeze = table.ndim == 1
     t = table[:, None] if squeeze else table
     oh = jax.nn.one_hot(idx, t.shape[0], dtype=dtype)
-    out = jnp.dot(oh, t.astype(dtype), preferred_element_type=dtype)
+    out = _exact_select_dot(oh, t.astype(dtype))
     return out[:, 0] if squeeze else out
+
+
+def _exact_select_dot(oh, t):
+    """oh @ t exact to f32 for a one-hot matrix.
+
+    The TPU MXU computes f32 matmuls with bfloat16 inputs by default, which
+    would round every looked-up value (incl. DOM positions) to 8 mantissa
+    bits; Precision.HIGHEST stalls this environment's remote compiler.
+    Instead split the table into three bf16-exact summands (hi + mid + lo
+    reconstructs f32 to ~2^-24): each partial product is then exact on the
+    MXU and a one-hot row sums a single term, so the result is the exact
+    f32 table row at 3x (still negligible) matmul cost."""
+    hi = t.astype(jnp.bfloat16).astype(jnp.float32)
+    rem = t - hi
+    mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = rem - mid
+    d = lambda m: jnp.dot(oh, m, preferred_element_type=jnp.float32)
+    return d(hi) + d(mid) + d(lo)
+
+
+def onehot_gather_exact(table, idx):
+    """Bit-exact table[idx] via byte-split int8 matmuls.
+
+    The MXU on this backend rounds even f32 matmul *outputs* to bfloat16, so
+    float one-hot selection carries only ~0.4% relative precision.  int8 x
+    int8 -> int32 products are exact: split each f32 into 4 bytes, select
+    with 4x-wide int8 one-hot matmul, reassemble bitwise.  ~4x the cost of
+    the float path -- use for small feature tables that need full precision
+    (per-string geometry); use onehot_gather for tolerance-friendly data.
+    """
+    squeeze = table.ndim == 1
+    t = table[:, None] if squeeze else table
+    tb = jax.lax.bitcast_convert_type(t.astype(jnp.float32), jnp.uint32)
+    by = jnp.stack([((tb >> (8 * i)) & 0xFF).astype(jnp.int32) - 128
+                    for i in range(4)], axis=-1)
+    b8 = by.reshape(t.shape[0], -1).astype(jnp.int8)
+    oh = jax.nn.one_hot(idx, t.shape[0], dtype=jnp.int8)
+    out = jnp.dot(oh, b8, preferred_element_type=jnp.int32)
+    out = out.reshape(idx.shape[0], -1, 4) + 128
+    u = (out[..., 0].astype(jnp.uint32)
+         | (out[..., 1].astype(jnp.uint32) << 8)
+         | (out[..., 2].astype(jnp.uint32) << 16)
+         | (out[..., 3].astype(jnp.uint32) << 24))
+    res = jax.lax.bitcast_convert_type(u, jnp.float32)
+    return res[:, 0] if squeeze else res
 
 
 def masked_set(arr, idx, value):

@@ -46,7 +46,8 @@ from ..medium.properties import MediumProperties
 from ..medium.tilt import tilt_z_shift
 from ..ops import rng
 from ..ops.lookup import (compact_scatter_add, masked_set, onehot_gather,
-                          ring_write, shifted_window_table)
+                          onehot_gather_exact, ring_write,
+                          shifted_window_table)
 from ..ops.rotations import (cart_to_sph, safe_sqrt,
                              scatter_direction_by_angle)
 from ..ops.samplers import (mixed_cos, rayleigh_cos,
@@ -358,20 +359,28 @@ def _check_collisions(state: SlotState, geo: DetectorGeometry,
     hit_dist = d_prop
     hit_dom = jnp.zeros(n, jnp.int32)
 
-    S, M, _ = geo.string_dom_table.shape
-    flat_table = geo.string_dom_table.reshape(S, M * 4)
+    S, M, _ = geo.string_dom_rel.shape
+    rel_table = geo.string_dom_rel.reshape(S, M * 4)
+    slot_iota = jax.lax.broadcasted_iota(jnp.float32, (n, M), 1)
 
     for _k in range(cfg.strings_per_photon):
         s_idx = jnp.argmin(ranked, axis=1).astype(jnp.int32)       # (N,)
         s_ok = jnp.min(ranked, axis=1) < BIG
         ranked = masked_set(ranked, s_idx, BIG)
 
-        row = onehot_gather(flat_table, s_idx).reshape(n, M, 4)
-        ox = row[:, :, 0] - x[:, None]
-        oy = row[:, :, 1] - y[:, None]
-        oz = row[:, :, 2] - z[:, None]
-        slot_dom = row[:, :, 3]
-        valid = (slot_dom >= 0.0) & s_ok[:, None]
+        # split-precision position reconstruction: exact per-string frame
+        # (byte-split int8 matmul) + small residuals (float one-hot, whose
+        # bf16-rounded output costs only ~cm on meters-scale residuals)
+        feats = onehot_gather_exact(geo.string_features, s_idx)    # (N, 8)
+        rel = onehot_gather(rel_table, s_idx).reshape(n, M, 4)
+        dom_xx = feats[:, 0:1] + rel[:, :, 0]
+        dom_yy = feats[:, 1:2] + rel[:, :, 1]
+        dom_zz = feats[:, 4:5] + feats[:, 5:6] * slot_iota + rel[:, :, 2]
+        slot_dom = feats[:, 6:7] + slot_iota                        # flat idx
+        ox = dom_xx - x[:, None]
+        oy = dom_yy - y[:, None]
+        oz = dom_zz - z[:, None]
+        valid = (rel[:, :, 3] > 0.5) & s_ok[:, None]
 
         dr2 = ox * ox + oy * oy + oz * oz
         urdot = ox * dx[:, None] + oy * dy[:, None] + oz * dz[:, None]
@@ -403,12 +412,15 @@ def _check_collisions(state: SlotState, geo: DetectorGeometry,
 def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
                medium: MediumProperties, geo: DetectorGeometry,
                spectra: SpectrumTable, cfg: PropagationConfig, key):
+    import os
+    _ablate = os.environ.get("CLSIM_ABLATE", "")
     n = state.x.shape[0]
     u = rng.uniforms(rng.iter_key(key, i), (n,), 8)
 
     # --- spawn new photons into empty slots ---
     fresh = (~state.in_flight) & (state.photons_left > 0)
-    state = _create_photons(state, steps, medium, spectra, cfg, u[:4], fresh)
+    if "nocreate" not in _ablate:
+        state = _create_photons(state, steps, medium, spectra, cfg, u[:4], fresh)
     state = state._replace(
         in_flight=state.in_flight | fresh,
         photons_left=state.photons_left - fresh.astype(state.photons_left.dtype))
@@ -421,11 +433,21 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
     sca_budget = -jnp.log(rng.uniform_oc(u[4]))
     abs_budget = state.abs_lens_left * abs_corr
 
-    d_prop, absorbed, scattered, abs_left = _segment_distances(
-        state, medium, cfg, sca_budget, abs_budget)
+    if "nowalk" in _ablate:
+        d_prop = jnp.minimum(sca_budget * 25.0, cfg.max_segment_m)
+        absorbed = abs_budget < sca_budget
+        scattered = ~absorbed
+        abs_left = jnp.maximum(abs_budget - d_prop * 0.01, 0.0)
+    else:
+        d_prop, absorbed, scattered, abs_left = _segment_distances(
+            state, medium, cfg, sca_budget, abs_budget)
 
     # --- collisions ---
-    if cfg.collision_mode == "bruteforce":
+    if "nocollision" in _ablate:
+        hit = jnp.zeros(n, bool)
+        hit_dist = d_prop
+        hit_dom = jnp.zeros(n, jnp.int32)
+    elif cfg.collision_mode == "bruteforce":
         hit, hit_dist, hit_dom = _check_collisions_bruteforce(
             state, geo, cfg, d_prop, active)
     else:
@@ -466,7 +488,9 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
     tbin = jnp.clip(tbin_f.astype(jnp.int32), 0, cfg.hist_n_bins - 1)
     flat_idx = hit_dom * cfg.hist_n_bins + tbin
     cap = cfg.hit_compact_capacity
-    if cfg.soft_binning:
+    if "nohist" in _ablate:
+        hist = acc.hist
+    elif cfg.soft_binning:
         frac_hi = jnp.clip(tbin_f - jnp.floor(tbin_f), 0.0, 1.0)
         tbin_lo = jnp.clip(jnp.floor(tbin_f).astype(jnp.int32), 0, cfg.hist_n_bins - 1)
         tbin_hi = jnp.clip(tbin_lo + 1, 0, cfg.hist_n_bins - 1)
@@ -474,7 +498,7 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
                                    w_hit * (1.0 - frac_hi), cap)
         hist = compact_scatter_add(hist, hit_dom * cfg.hist_n_bins + tbin_hi,
                                    w_hit * frac_hi, cap)
-    else:
+    elif True:
         hist = compact_scatter_add(acc.hist, flat_idx, w_hit, cap)
     acc = acc._replace(
         hist=hist,

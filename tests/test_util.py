@@ -1,0 +1,109 @@
+"""Tests for support utilities: muon slicer, sanitizers, statistics,
+multi-PMT hit assignment."""
+
+import math
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from clsim_tpu.constants import C_LIGHT
+from clsim_tpu.geometry import single_string_geometry
+from clsim_tpu.hits.acceptance import icecube_dom_acceptance
+from clsim_tpu.hits.multi_pmt import (assign_pmts, km3net_31_pmt_layout,
+                                      sample_multi_pmt_hits)
+from clsim_tpu.sources.particles import Particle, ParticleType
+from clsim_tpu.util import (RunStatistics, filter_light_sources, sanitize_taus,
+                            slice_muon)
+
+
+def _muon(E=1000.0, L=600.0):
+    return Particle(ptype=ParticleType.MuMinus, x=0, y=0, z=0, time=0,
+                    energy=E, dir_x=1, dir_y=0, dir_z=0, length=L)
+
+
+def test_slice_muon_energy_budget():
+    mu = _muon(E=1000.0, L=600.0)
+    t1 = 100.0 / C_LIGHT
+    t2 = 400.0 / C_LIGHT
+    d1 = Particle(ptype=ParticleType.Brems, x=100, y=0, z=0, time=t1,
+                  energy=200.0, dir_x=1, dir_y=0, dir_z=0)
+    d2 = Particle(ptype=ParticleType.Brems, x=400, y=0, z=0, time=t2,
+                  energy=300.0, dir_x=1, dir_y=0, dir_z=0)
+    slices = slice_muon(mu, [d1, d2], final_energy=100.0)
+    assert len(slices) == 3
+    # slice lengths partition the track
+    assert sum(s.length for s in slices) == pytest.approx(600.0, rel=1e-6)
+    # energies decrease monotonically and bracket the endpoint energies
+    es = [s.energy for s in slices]
+    assert es[0] == pytest.approx(1000.0)
+    assert es[0] > es[1] > es[2] >= 100.0 - 1e-6
+    # after the first stochastic loss, energy dropped by >= 200
+    assert es[1] <= 1000.0 - 200.0
+
+
+def test_sanitize_taus_drops_invalid():
+    good = Particle(ptype=ParticleType.TauMinus, x=0, y=0, z=0, time=0,
+                    energy=10, dir_x=1, dir_y=0, dir_z=0, length=50.0)
+    bad = Particle(ptype=ParticleType.TauMinus, x=0, y=0, z=0, time=0,
+                   energy=10, dir_x=1, dir_y=0, dir_z=0,
+                   length=float("nan"))
+    em = Particle(ptype=ParticleType.EMinus, x=0, y=0, z=0, time=0,
+                  energy=10, dir_x=1, dir_y=0, dir_z=0)
+    out = sanitize_taus([good, bad, em])
+    assert good in out and em in out and bad not in out
+
+
+def test_filter_by_detector_distance():
+    geo = single_string_geometry(n_doms=10, x=0.0, z_top=100.0)
+    near = Particle(ptype=ParticleType.EMinus, x=50, y=0, z=0, time=0,
+                    energy=1, dir_x=1, dir_y=0, dir_z=0)
+    far = Particle(ptype=ParticleType.EMinus, x=5000, y=0, z=0, time=0,
+                   energy=1, dir_x=1, dir_y=0, dir_z=0)
+    out = filter_light_sources([near, far], geo,
+                               closest_dom_distance_cutoff=300.0)
+    assert near in out and far not in out
+
+
+def test_run_statistics_keys():
+    st = RunStatistics()
+    st.record(1e6, 1e4, 2e4, device_time_s=0.5, host_time_s=1.0)
+    d = st.as_dict()
+    assert d["AverageDeviceTimePerPhoton"] == pytest.approx(500.0)  # ns
+    assert d["DeviceUtilization"] == pytest.approx(0.5)
+    assert d["NumKernelCalls"] == 1
+
+
+def test_multi_pmt_assignment():
+    layout = km3net_31_pmt_layout(cos_opening=0.95)
+    # a hit exactly on the downward PMT
+    pmt = assign_pmts(layout, jnp.asarray([0.0]), jnp.asarray([0.0]),
+                      jnp.asarray([-0.2]))
+    assert int(pmt[0]) == 0
+    # a hit between cathodes -> -1 with a tight opening
+    tight = km3net_31_pmt_layout(cos_opening=0.99999)
+    pmt2 = assign_pmts(tight, jnp.asarray([0.14]), jnp.asarray([0.0]),
+                       jnp.asarray([-0.14]))
+    assert int(pmt2[0]) == -1
+
+
+def test_multi_pmt_sampling_shapes():
+    layout = km3net_31_pmt_layout()
+    n_slots, cap = 4, 2
+    rec = {k: jnp.zeros((n_slots, cap), jnp.float32)
+           for k in ["pos_x", "pos_y", "pos_z", "time", "dir_theta",
+                     "dir_phi", "wavelength", "weight", "dom"]}
+    rec = dict(rec)
+    rec["pos_z"] = rec["pos_z"] - 0.2
+    rec["wavelength"] = rec["wavelength"] + 400.0
+    rec["weight"] = rec["weight"] + 1.0
+    rec["dir_theta"] = rec["dir_theta"] + 0.01
+    counts = jnp.asarray([2, 1, 0, 0], jnp.int32)
+    acc = icecube_dom_acceptance()
+    from clsim_tpu.hits.acceptance import dom_angular_sensitivity
+    accept, dom, pmt, t = sample_multi_pmt_hits(
+        rec, counts, jax.random.PRNGKey(0), layout, acc,
+        dom_angular_sensitivity())
+    assert accept.shape == (n_slots * cap,)
+    assert int(accept.sum()) <= 3
