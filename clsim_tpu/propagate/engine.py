@@ -507,7 +507,17 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
 
     # --- optional I3Photon-parity record rings ---
     if cfg.save_photons:
-        rec_mask = hit & active
+        if cfg.save_all_photons:
+            # SAVE_ALL_PHOTONS: record each photon at its absorption point
+            # with an optional prescale (propagation_kernel.c.cl:800-826);
+            # collision results are ignored in this mode
+            rec_mask = active & absorbed
+            if cfg.save_all_prescale < 1.0:
+                rec_mask = rec_mask & (u[7] < cfg.save_all_prescale)
+            hit_dist = d_prop
+            hit_dom = jnp.zeros_like(hit_dom)
+        else:
+            rec_mask = hit & active
         slot_pos = acc.rec_count % cfg.photon_capacity_per_slot
         ddx = geo.dom_x[hit_dom]
         ddy = geo.dom_y[hit_dom]

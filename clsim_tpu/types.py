@@ -116,6 +116,9 @@ class PropagationConfig:
     n_slots: int = 8192            # parallel photon slots (work items)
     stop_on_detection: bool = True  # STOP_PHOTONS_ON_DETECTION
     save_photons: bool = False      # keep full photon records (parity mode)
+    save_all_photons: bool = False  # SAVE_ALL_PHOTONS: record every photon at
+                                    # its absorption point (no detector test)
+    save_all_prescale: float = 1.0  # SAVE_ALL_PHOTONS_PRESCALE
     photon_capacity_per_slot: int = 8  # record ring size when save_photons
     pancake_factor: float = 1.0     # PANCAKE_FACTOR (DOM oversize flattening)
     dom_oversize: float = 1.0       # collision radius = R * oversize

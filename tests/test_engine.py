@@ -309,3 +309,39 @@ class TestDifferentiability:
             res = propagate(steps, medium, geo, spectra, key, cfg)
             results[est] = float(res.weight_hits) / float(res.n_generated)
         assert results["expected"] == pytest.approx(results["detect"], rel=0.05)
+
+
+class TestSaveAllPhotons:
+    def test_records_absorption_points(self):
+        """SAVE_ALL_PHOTONS mode: every photon is recorded at its absorption
+        point regardless of the detector (propagation_kernel.c.cl:800-826)."""
+        medium = make_homogeneous_ice(b400=0.05, a_dust400=0.05)
+        geo = _one_dom_geometry(x=5000.0)
+        spectra = _spectra()
+        cfg = PropagationConfig(n_slots=64, save_photons=True,
+                                save_all_photons=True, stop_on_detection=False,
+                                photon_capacity_per_slot=32)
+        steps = _beam_steps(cfg.n_slots, 8, source_type=0)
+        res = propagate(steps, medium, geo, spectra,
+                        jnp.asarray([0, 12], jnp.uint32), cfg)
+        counts = np.asarray(res.rec_count)
+        # every generated photon is recorded exactly once
+        assert counts.sum() == float(res.n_generated)
+        # path lengths are exponential-ish: mean ~ abs length scale
+        k = counts[0]
+        d = np.asarray(res.rec["cherenkov_dist"])[0, :min(k, 32)]
+        assert d.min() > 0.0
+
+    def test_prescale_reduces_records(self):
+        medium = make_homogeneous_ice(b400=0.05, a_dust400=0.05)
+        geo = _one_dom_geometry(x=5000.0)
+        spectra = _spectra()
+        cfg = PropagationConfig(n_slots=128, save_photons=True,
+                                save_all_photons=True, stop_on_detection=False,
+                                save_all_prescale=0.25,
+                                photon_capacity_per_slot=32)
+        steps = _beam_steps(cfg.n_slots, 16, source_type=0)
+        res = propagate(steps, medium, geo, spectra,
+                        jnp.asarray([0, 13], jnp.uint32), cfg)
+        frac = np.asarray(res.rec_count).sum() / float(res.n_generated)
+        assert frac == pytest.approx(0.25, abs=0.05)
