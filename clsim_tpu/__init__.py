@@ -12,3 +12,4 @@ from .geometry import (DetectorGeometry, build_geometry,  # noqa: F401
                        hexagonal_geometry, single_string_geometry)
 from .medium.properties import MediumProperties, make_homogeneous_ice  # noqa: F401
 from .medium.ice_parser import parse_ppc_ice_model  # noqa: F401
+from .medium.antares import make_antares_water  # noqa: F401
