@@ -76,6 +76,25 @@ def onehot_gather_exact(table, idx):
     return res[:, 0] if squeeze else res
 
 
+def select_rows_exact(table, idx):
+    """Bit-exact table[idx] via a masked select-reduce on the VPU.
+
+    For small tables (S <= ~100, few features): one fused (N, S) comparison
+    pass; exact f32 with no matmul involved (this backend's MXU rounds float
+    matmul outputs to bfloat16, and its int8 path compiles pathologically
+    slowly).  Cost ~ O(N*S) vector ops, amortized across features by fusion.
+    """
+    squeeze = table.ndim == 1
+    t = table[:, None] if squeeze else table
+    S, F = t.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], S), 1)
+    mask = cols == idx[:, None]
+    outs = [jnp.sum(jnp.where(mask, t[None, :, f], 0.0), axis=1)
+            for f in range(F)]
+    out = jnp.stack(outs, axis=1)
+    return out[:, 0] if squeeze else out
+
+
 def masked_set(arr, idx, value):
     """arr.at[arange(N), idx].set(value) without a scatter: iota compare.
     arr: (N, S); idx: (N,); value scalar or (N,)."""

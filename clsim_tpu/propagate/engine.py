@@ -46,7 +46,7 @@ from ..medium.properties import MediumProperties
 from ..medium.tilt import tilt_z_shift
 from ..ops import rng
 from ..ops.lookup import (compact_scatter_add, masked_set, onehot_gather,
-                          onehot_gather_exact, ring_write,
+                          ring_write, select_rows_exact,
                           shifted_window_table)
 from ..ops.rotations import (cart_to_sph, safe_sqrt,
                              scatter_direction_by_angle)
@@ -369,14 +369,16 @@ def _check_collisions(state: SlotState, geo: DetectorGeometry,
         ranked = masked_set(ranked, s_idx, BIG)
 
         # split-precision position reconstruction: exact per-string frame
-        # (byte-split int8 matmul) + small residuals (float one-hot, whose
-        # bf16-rounded output costs only ~cm on meters-scale residuals)
-        feats = onehot_gather_exact(geo.string_features, s_idx)    # (N, 8)
+        # (VPU select-reduce, only the 5 features the sphere test needs) +
+        # small residuals (float one-hot, whose bf16-rounded output costs
+        # only ~cm on meters-scale residuals)
+        feats = select_rows_exact(geo.string_features[:, (0, 1, 4, 5, 6)],
+                                  s_idx)                           # (N, 5)
         rel = onehot_gather(rel_table, s_idx).reshape(n, M, 4)
         dom_xx = feats[:, 0:1] + rel[:, :, 0]
         dom_yy = feats[:, 1:2] + rel[:, :, 1]
-        dom_zz = feats[:, 4:5] + feats[:, 5:6] * slot_iota + rel[:, :, 2]
-        slot_dom = feats[:, 6:7] + slot_iota                        # flat idx
+        dom_zz = feats[:, 2:3] + feats[:, 3:4] * slot_iota + rel[:, :, 2]
+        slot_dom = feats[:, 4:5] + slot_iota                        # flat idx
         ox = dom_xx - x[:, None]
         oy = dom_yy - y[:, None]
         oz = dom_zz - z[:, None]
