@@ -1,1 +1,2 @@
-from . import anisotropy, functions, ice_parser, properties, tilt  # noqa: F401
+from . import (anisotropy, functions, ice_parser, photonics,  # noqa: F401
+               properties, tilt)

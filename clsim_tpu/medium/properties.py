@@ -84,11 +84,27 @@ class MediumProperties(NamedTuple):
     # water media ("water" kind): the whole wavelength dependence lives in
     # uniform tables and the per-layer coefficients are unit/zero, so the
     # same separable interface serves both medium families
-    medium_kind: str = "icecube"    # static: "icecube" | "water"
+    medium_kind: str = "icecube"    # static: "icecube" | "water" |
+                                    #         "separable_table"
     water_wlen_first: float = 290.0  # static [nm]
     water_wlen_step: float = 10.0    # static [nm]
     water_scat_inv: Optional[jnp.ndarray] = None   # (nw,) 1/m
     water_abs_inv: Optional[jnp.ndarray] = None    # (nw,) 1/m
+
+    # "separable_table" media (photonics-format ice, medium/photonics.py):
+    # the separable wavelength factors gs/pa/qa/ra are uniform-grid tables
+    # on the water_wlen grid instead of the closed-form icecube formulas;
+    # the per-layer arrays b400/a_dust400/delta_tau hold the layer modes of
+    # the rank decomposition
+    fac_gs: Optional[jnp.ndarray] = None    # (nw,)
+    fac_pa: Optional[jnp.ndarray] = None
+    fac_qa: Optional[jnp.ndarray] = None
+    fac_ra: Optional[jnp.ndarray] = None
+
+    # optional tabulated refractive index override (photonics N_PHASE /
+    # N_GROUP tables) on the same uniform wavelength grid
+    ref_n_table: Optional[jnp.ndarray] = None   # (nw,) phase index
+    ref_g_table: Optional[jnp.ndarray] = None   # (nw,) group index
 
     # ------------------------------------------------------------------
     # property evaluation
@@ -114,10 +130,15 @@ class MediumProperties(NamedTuple):
     def abs_coeffs(self, wlen_nm):
         """Separable wavelength factors (pa, qa, ra) of the inverse absorption
         length: 1/l_abs[layer] = pa*a_dust400[layer] + qa + ra*delta_tau[layer].
-        Water media: (0, table(lambda), 0)."""
+        Water media: (0, table(lambda), 0).  Separable-table media (photonics
+        format): tabulated rank factors on the uniform wavelength grid."""
         if self.medium_kind == "water":
             zero = jnp.zeros_like(jnp.asarray(wlen_nm))
             return zero, self._water_table(self.water_abs_inv, wlen_nm), zero
+        if self.medium_kind == "separable_table":
+            return (self._water_table(self.fac_pa, wlen_nm),
+                    self._water_table(self.fac_qa, wlen_nm),
+                    self._water_table(self.fac_ra, wlen_nm))
         return F.abs_separable_coeffs(self.kappa, self.abs_A, self.abs_B,
                                       self.abs_D, self.abs_E, wlen_nm)
 
@@ -126,6 +147,8 @@ class MediumProperties(NamedTuple):
         Water media: the particulate+water table (b400 == 1)."""
         if self.medium_kind == "water":
             return self._water_table(self.water_scat_inv, wlen_nm)
+        if self.medium_kind == "separable_table":
+            return self._water_table(self.fac_gs, wlen_nm)
         return F.scat_separable_coeff(self.alpha, wlen_nm)
 
     def inv_scattering_length(self, layer, wlen_nm):
@@ -136,9 +159,13 @@ class MediumProperties(NamedTuple):
         return pa * self.a_dust400[layer] + qa + ra * self.delta_tau[layer]
 
     def phase_ref_index(self, wlen_nm):
+        if self.ref_n_table is not None:
+            return self._water_table(self.ref_n_table, wlen_nm)
         return F.phase_ref_index(self.ref_index, wlen_nm)
 
     def group_ref_index(self, wlen_nm):
+        if self.ref_g_table is not None:
+            return self._water_table(self.ref_g_table, wlen_nm)
         return F.group_ref_index(self.ref_index, wlen_nm)
 
     def group_velocity(self, wlen_nm):

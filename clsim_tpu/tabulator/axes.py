@@ -107,3 +107,61 @@ def default_spherical_axes(r_max: float = 580.0, t_max: float = 7000.0
         Axis(-1.0, 1.0, 100, power=1),
         Axis(0.0, t_max, 105, power=2),
     ])
+
+
+class CylindricalAxes:
+    """(rho, azimuth[rad, folded to 0..pi], z of closest approach, residual
+    time) axes -- the infinite-muon table binning (Axes.cxx CylindricalAxes,
+    cylindrical_coordinates.c.cl).  The time residual is relative to the
+    geometric Cherenkov cone: t - (l + rho*tan(theta_c))/c."""
+
+    kind = "cylindrical"
+
+    def __init__(self, axes: Sequence[Axis]):
+        if len(axes) != 4:
+            raise ValueError("CylindricalAxes needs 4 axes (rho, az, z, t)")
+        self.axes = list(axes)
+        self.shape = tuple(a.n_total for a in self.axes)
+        strides = [0] * 4
+        strides[3] = 1
+        for i in (2, 1, 0):
+            strides[i] = strides[i + 1] * self.shape[i + 1]
+        self.strides = tuple(strides)
+        self.n_bins = self.strides[0] * self.shape[0]
+
+    def flat_index(self, coords):
+        idx = 0
+        for a, s, c in zip(self.axes, self.strides, coords):
+            idx = idx + s * a.bin_index(c)
+        return idx
+
+    def out_of_bounds(self, coords):
+        """Only the time bound terminates photons for cylindrical tables
+        (Axes.cxx GetBoundsCheckFunction, CylindricalAxes variant)."""
+        return coords[3] > self.axes[3].max
+
+    def bin_volumes(self) -> np.ndarray:
+        """(rho1^2-rho0^2)/2 * 2*dphi * dz per (rho, az, z) cell; the factor
+        2 accounts for the azimuthal fold at pi (Axes.cxx:155-166)."""
+        rho_edges = self.axes[0].bin_edges()
+        az_edges = self.axes[1].bin_edges()
+        z_edges = self.axes[2].bin_edges()
+        vr = np.diff(rho_edges ** 2) / 2.0
+        vaz = 2.0 * np.diff(az_edges)
+        vz = np.diff(z_edges)
+        return vr[:, None, None] * vaz[None, :, None] * vz[None, None, :]
+
+
+SphericalAxes.kind = "spherical"
+
+
+def default_cylindrical_axes(rho_max: float = 580.0, t_max: float = 7000.0,
+                             z_half: float = 800.0) -> CylindricalAxes:
+    """The reference's infinite-muon binning
+    (python/tablemaker/tabulator.py:631-637)."""
+    return CylindricalAxes([
+        Axis(0.0, rho_max, 100, power=2),
+        Axis(0.0, math.pi, 36, power=1),
+        Axis(-z_half, z_half, 80, power=1),
+        Axis(0.0, t_max, 105, power=2),
+    ])

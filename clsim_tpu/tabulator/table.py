@@ -63,6 +63,28 @@ def make_reference_source(x, y, z, t, zenith, azimuth) -> ReferenceSource:
                            perp=jnp.asarray(perp, jnp.float32))
 
 
+def _cylindrical_coords(px, py, pz, pt, source: ReferenceSource,
+                        min_inv_groupvel, tan_theta_c):
+    """Source-relative (rho, azimuth_rad, z_closest, residual_t) for infinite
+    muon tracks (cylindrical_coordinates.c.cl:42-63); the time residual is
+    relative to the geometric Cherenkov cone (l + rho*tan(theta_c))/c."""
+    from ..constants import C_LIGHT
+    rx = px - source.pos[0]
+    ry = py - source.pos[1]
+    rz = pz - source.pos[2]
+    l = rx * source.dir[0] + ry * source.dir[1] + rz * source.dir[2]
+    hx = rx - l * source.dir[0]
+    hy = ry - l * source.dir[1]
+    hz = rz - l * source.dir[2]
+    rho = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+    cos_az = (hx * source.perp[0] + hy * source.perp[1] + hz * source.perp[2]) \
+        / jnp.maximum(rho, 1e-20)
+    azimuth = jnp.where(rho > 0, jnp.arccos(jnp.clip(cos_az, -1.0, 1.0)), 0.0)
+    z_closest = source.pos[2] + l * source.dir[2]
+    dt = (pt - source.time) - (l + rho * tan_theta_c) / C_LIGHT
+    return rho, azimuth, z_closest, dt
+
+
 def _spherical_coords(px, py, pz, pt, source: ReferenceSource,
                       min_inv_groupvel):
     """Source-relative (r, azimuth_deg, cos_polar, residual_t); the azimuth
@@ -92,7 +114,7 @@ def _tabulate_batch(steps: StepBatch, medium: MediumProperties,
                     spectra: SpectrumTable, source: ReferenceSource,
                     angular_coeffs, key, cfg: PropagationConfig,
                     axes: SphericalAxes, step_length: float,
-                    min_inv_groupvel):
+                    min_inv_groupvel, tan_theta_c):
     """Propagate one slot-assigned batch in table mode and return the raw
     (unnormalized) flat bin contents."""
     n = steps.x.shape[0]
@@ -143,8 +165,13 @@ def _tabulate_batch(steps: StepBatch, medium: MediumProperties,
             py = state.y + d * state.dy
             pz = state.z + d * state.dz
             pt = state.t + d * state.inv_groupvel
-            r, az, ct, dt = _spherical_coords(px, py, pz, pt, source,
-                                              min_inv_groupvel)
+            if getattr(axes, "kind", "spherical") == "cylindrical":
+                r, az, ct, dt = _cylindrical_coords(px, py, pz, pt, source,
+                                                    min_inv_groupvel,
+                                                    tan_theta_c)
+            else:
+                r, az, ct, dt = _spherical_coords(px, py, pz, pt, source,
+                                                  min_inv_groupvel)
             oob = axes.out_of_bounds((r, az, ct, dt))
             frac = d / jnp.maximum(d_prop, 1e-20)
             w = jnp.where(in_seg & ~oob,
@@ -227,9 +254,18 @@ def tabulate(step_batches, medium: MediumProperties, spectra: SpectrumTable,
     cfg = dc.replace(cfg, fixed_abs_lens=abs_lens_horizon,
                      stop_on_detection=False)
 
+    # GetMinimumRefractiveIndex (I3CLSimStepToTableConverter.cxx:191-196):
+    # minimum group index sets min_invGroupVel; the phase index at that
+    # wavelength sets tan(theta_c) for the cylindrical time residual
     wl = np.linspace(medium.min_wlen, medium.max_wlen, 128)
-    min_inv_gv = float(np.min(1.0 / np.asarray(
-        jax.vmap(medium.group_velocity)(jnp.asarray(wl, jnp.float32)))))
+    n_group = np.asarray(jax.vmap(medium.group_ref_index)(
+        jnp.asarray(wl, jnp.float32)))
+    n_phase = np.asarray(jax.vmap(medium.phase_ref_index)(
+        jnp.asarray(wl, jnp.float32)))
+    i_min = int(np.argmin(n_group))
+    from ..constants import C_LIGHT
+    min_inv_gv = float(n_group[i_min] / C_LIGHT)
+    tan_theta_c = float(np.sqrt(n_phase[i_min] ** 2 - 1.0))
 
     key = jax.random.PRNGKey(seed)
     total = np.zeros(axes.n_bins, np.float64)
@@ -239,7 +275,8 @@ def tabulate(step_batches, medium: MediumProperties, spectra: SpectrumTable,
         content = _tabulate_batch(b, medium, spectra, source, angular_coeffs,
                                   jax.random.fold_in(key, i), cfg, axes,
                                   float(step_length),
-                                  jnp.float32(min_inv_gv))
+                                  jnp.float32(min_inv_gv),
+                                  jnp.float32(tan_theta_c))
         total += np.asarray(content, np.float64)
         n_photons += float(np.asarray(batch.num_photons).sum())
 
@@ -253,7 +290,7 @@ def tabulate(step_batches, medium: MediumProperties, spectra: SpectrumTable,
 
     header = dict(n_photons=n_photons, step_length=step_length,
                   abs_lens_horizon=abs_lens_horizon, dom_radius=dom_radius,
-                  seed=seed)
+                  seed=seed, n_group=n_group[i_min], n_phase=n_phase[i_min])
     return PhotonTable(values=values, weights_sq=None, axes=axes,
                        n_photons=n_photons, header=header)
 

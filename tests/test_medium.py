@@ -180,3 +180,91 @@ def test_homogeneous_medium_layers():
     assert int(m.layer_for_z(jnp.float32(-2000.0))) == 0
     assert int(m.layer_for_z(jnp.float32(0.0))) == 1
     assert int(m.layer_for_z(jnp.float32(5000.0))) == 1
+
+
+def test_photonics_table_parser():
+    """Parse a synthetic photonics-format table generated from a known
+    parametric ice model and verify the reconstructed optical properties
+    (MakeIceCubeMediumPropertiesPhotonics.py contract)."""
+    import io
+    import jax
+    from clsim_tpu.medium.photonics import parse_photonics_ice_table
+
+    rng = np.random.default_rng(7)
+    L, nw = 10, 16
+    w_start, dw = 300.0, 20.0
+    wl = w_start + dw / 2 + dw * np.arange(nw)
+    mean_cos = 0.94
+    # physical structure: dust shape x layer amplitude + pure ice
+    b400 = 0.03 + 0.02 * rng.random(L)
+    gs = (wl / 400.0) ** -0.9
+    scat_inv_geo = np.outer(b400, gs)                 # geometric 1/m
+    a_amp = 0.005 + 0.004 * rng.random(L)
+    pa = (wl / 400.0) ** -1.08
+    qa = 0.01 * np.exp(-6618.0 / wl) * 400.0
+    abs_inv = np.outer(a_amp, pa) + qa[None, :]
+    n_phase = 1.32 + 10.0 / wl
+    n_group = n_phase * 1.03
+
+    lines = [f"NLAYER {L}", f"NWVL {nw} {w_start} {dw}"]
+    order = rng.permutation(L)                        # parser must sort
+    for i in order:
+        z0, z1 = -500.0 + 50.0 * i, -500.0 + 50.0 * (i + 1)
+        if i % 3 == 0:
+            z0, z1 = z1, z0                           # upside-down layers
+        lines.append(f"LAYER {z0} {z1}")
+        lines.append("ABS " + " ".join(map(str, abs_inv[i])))
+        # file stores the EFFECTIVE coefficient b_e = b_geo * (1 - <cos>)
+        lines.append("SCAT " + " ".join(map(str,
+                                            scat_inv_geo[i] * (1 - mean_cos))))
+        lines.append("COS " + " ".join([str(mean_cos)] * nw))
+        lines.append("N_GROUP " + " ".join(map(str, n_group)))
+        lines.append("N_PHASE " + " ".join(map(str, n_phase)))
+
+    medium = parse_photonics_ice_table("\n".join(lines))
+    assert medium.n_layers == L
+    assert float(medium.layers_z_start) == -500.0
+    assert float(medium.layer_height) == 50.0
+    assert medium.medium_kind == "separable_table"
+    assert float(medium.scattering.liu_fraction) == 0.0
+
+    # reconstructed inverse lengths match the generating tables
+    for li in [0, 3, L - 1]:
+        got_s = np.array([float(medium.inv_scattering_length(li, w))
+                          for w in wl])
+        np.testing.assert_allclose(got_s, scat_inv_geo[li], rtol=2e-3)
+        got_a = np.array([float(medium.inv_absorption_length(li, w))
+                          for w in wl])
+        np.testing.assert_allclose(got_a, abs_inv[li], rtol=2e-3)
+    # tabulated refractive index override is active
+    np.testing.assert_allclose(float(medium.phase_ref_index(wl[3])),
+                               n_phase[3], rtol=1e-5)
+    np.testing.assert_allclose(float(medium.group_ref_index(wl[3])),
+                               n_group[3], rtol=1e-5)
+
+
+def test_photonics_table_rejects_bad_files():
+    from clsim_tpu.medium.photonics import parse_photonics_ice_table
+    import pytest as _pytest
+    base = ("NLAYER 1\nNWVL 2 300 20\nLAYER 0 50\nABS 0.1 0.1\n"
+            "SCAT 0.1 0.1\nCOS 0.9 0.9\nN_GROUP 1.35 1.35\n"
+            "N_PHASE 1.31 1.31\n")
+    parse_photonics_ice_table(base)  # sanity: the base file parses
+    with _pytest.raises(ValueError, match="NLAYER"):
+        parse_photonics_ice_table(base.replace("NLAYER 1\n", ""))
+    with _pytest.raises(ValueError, match="mean cosine"):
+        parse_photonics_ice_table(base.replace("COS 0.9 0.9", "COS 0.9 0.8"))
+    with _pytest.raises(ValueError, match="N_GROUP"):
+        parse_photonics_ice_table(
+            "NLAYER 2\nNWVL 2 300 20\n"
+            "LAYER 0 50\nABS 0.1 0.1\nSCAT 0.1 0.1\nCOS 0.9 0.9\n"
+            "N_GROUP 1.35 1.35\nN_PHASE 1.31 1.31\n"
+            "LAYER 50 100\nABS 0.1 0.1\nSCAT 0.1 0.1\nCOS 0.9 0.9\n"
+            "N_GROUP 1.40 1.40\nN_PHASE 1.31 1.31\n")
+    with _pytest.raises(ValueError, match="hole"):
+        parse_photonics_ice_table(
+            "NLAYER 2\nNWVL 2 300 20\n"
+            "LAYER 0 50\nABS 0.1 0.1\nSCAT 0.1 0.1\nCOS 0.9 0.9\n"
+            "N_GROUP 1.35 1.35\nN_PHASE 1.31 1.31\n"
+            "LAYER 60 110\nABS 0.1 0.1\nSCAT 0.1 0.1\nCOS 0.9 0.9\n"
+            "N_GROUP 1.35 1.35\nN_PHASE 1.31 1.31\n")

@@ -82,3 +82,81 @@ def test_save_table(tmp_path):
     save_table_npz(table, str(path))
     loaded = np.load(path)
     np.testing.assert_array_equal(loaded["values"], table.values)
+
+
+def test_cylindrical_axes_volumes_and_bounds():
+    from clsim_tpu.tabulator import CylindricalAxes, default_cylindrical_axes
+    ax = default_cylindrical_axes()
+    assert ax.n_bins == np.prod(ax.shape)
+    vol = ax.bin_volumes()
+    assert vol.shape == (100, 36, 80)
+    # analytic check of one cell: ((rho1^2-rho0^2)/2) * 2*dphi * dz
+    e0 = ax.axes[0].bin_edges()
+    dphi = np.pi / 36
+    dz = 1600.0 / 80
+    np.testing.assert_allclose(
+        vol[3, 0, 0], (e0[4] ** 2 - e0[3] ** 2) / 2 * 2 * dphi * dz)
+    # only the time bound terminates (Axes.cxx CylindricalAxes)
+    assert bool(ax.out_of_bounds((jnp.float32(1e5), jnp.float32(0),
+                                  jnp.float32(0), jnp.float32(0)))) is False
+    assert bool(ax.out_of_bounds((jnp.float32(0), jnp.float32(0),
+                                  jnp.float32(0), jnp.float32(1e9)))) is True
+
+
+def test_tabulate_cylindrical_track():
+    """An infinite-muon-style table: beam along +x, cylindrical axes; direct
+    light concentrates at small rho and near-zero cone-residual time."""
+    from clsim_tpu.tabulator import Axis, CylindricalAxes
+    medium = make_homogeneous_ice(b400=0.005, a_dust400=0.01)
+    spectra = _spectra()
+    cfg = PropagationConfig(n_slots=128, max_segment_m=30.0,
+                            max_layer_steps=6)
+    steps = _beam_steps(cfg.n_slots, 4, direction=(1.0, 0.0, 0.0))
+    source = make_reference_source(0.0, 0.0, 0.0, 0.0,
+                                   zenith=np.pi / 2, azimuth=np.pi)  # +x
+    axes = CylindricalAxes([
+        Axis(0.0, 200.0, 20, power=2),
+        Axis(0.0, np.pi, 6),
+        Axis(-200.0, 200.0, 10),
+        Axis(0.0, 2000.0, 20, power=2),
+    ])
+    table = tabulate([steps], medium, spectra, source, seed=5, axes=axes,
+                     cfg=cfg)
+    vals = table.values
+    assert vals.shape == axes.shape
+    assert np.isfinite(vals).all() and vals.sum() > 0
+    # direct Cherenkov light sits at small rho with residual time ~ 0
+    rho_profile = vals[1:-1, :, 1:-1, 1:-1].sum(axis=(1, 2, 3))
+    assert rho_profile.argmax() < 5
+    # the cone residual of a point source is r*(n_group - n_phase)/c > 0, so
+    # the peak sits in an early (but not necessarily the first) power-2 bin
+    t_profile = vals[1:-1, :, 1:-1, 1:-1].sum(axis=(0, 1, 2))
+    assert t_profile.argmax() <= 3
+    assert t_profile[:5].sum() > 10 * t_profile[10:].sum()
+
+
+def test_fits_roundtrip(tmp_path):
+    from clsim_tpu.tabulator import read_fits, save_table_fits
+    from clsim_tpu.tabulator import Axis, SphericalAxes
+    medium = make_homogeneous_ice(b400=0.01, a_dust400=0.02)
+    spectra = _spectra()
+    cfg = PropagationConfig(n_slots=32, max_segment_m=30.0, max_layer_steps=6)
+    steps = _beam_steps(cfg.n_slots, 2)
+    source = make_reference_source(0, 0, 0, 0, np.pi / 2, np.pi)
+    axes = SphericalAxes([Axis(0, 100, 10, 2), Axis(0, 180, 4),
+                          Axis(-1, 1, 5), Axis(0, 1000, 10, 2)])
+    table = tabulate([steps], medium, spectra, source, seed=1, axes=axes,
+                     cfg=cfg)
+    path = str(tmp_path / "table.fits")
+    save_table_fits(table, path)
+    vals, edges, header, errors = read_fits(path)
+    np.testing.assert_allclose(vals, table.values.astype(np.float32),
+                               rtol=1e-6)
+    assert len(edges) == 4
+    np.testing.assert_allclose(edges[0], axes.axes[0].bin_edges())
+    assert header["n_photons"] == pytest.approx(table.header["n_photons"])
+    assert "n_group" in header and "n_phase" in header
+    # file structure: 2880-byte blocks, SIMPLE first card
+    raw = open(path, "rb").read()
+    assert len(raw) % 2880 == 0
+    assert raw[:6] == b"SIMPLE"
