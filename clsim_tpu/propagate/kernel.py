@@ -1,0 +1,1044 @@
+"""Fused multi-iteration Pallas propagation kernel (the TPU fast path).
+
+Fuses the whole per-iteration pipeline of propagate/engine.py -- photon
+creation, tilt + layered-ice optical-depth walk, anisotropy, string-culled
+DOM collision, hit recording and scattering -- into ONE Pallas kernel that
+runs `iters_per_call` iterations per launch with all photon state resident
+in VMEM.  The physics contract is identical to the engine (itself the
+contract-carrying redesign of the reference's propagation_kernel.c.cl:406-913
++ sparse_collision_kernel.c.cl); the engine doubles as the numerical oracle
+for this kernel's tests.
+
+Why fusing wins on TPU: the unfused engine materializes (n_slots, n_strings)
+cull arrays and (n_slots, window) layer fetches in HBM every iteration
+(~200 MB/iter at 64k slots) and pays XLA op-dispatch per iteration.  Here
+every temporary lives in VMEM for a block of `block_lanes` photons.
+
+Measured layout rules (scripts/probe_pallas*.py on a v5e through the axon
+relay):
+  * elementwise math on (RB, 128)-shaped lanes is ~free; (1, BLK)-flat ops
+    run at 1/8 VPU -- so state lives tiled and is flattened only for the
+    table/cull phases (reshape is cheap);
+  * one-hot MXU fetches must be bf16: an f32 one-hot matmul runs ~12x slower
+    AND this backend's MXU rounds f32 matmul outputs to bfloat16 anyway.
+    Tables are therefore fetched as hi+lo bf16 split pairs (error ~2^-16
+    relative, exact for integers < 2^16) -- see _split2;
+  * small per-lane table searches (spectrum CDF, bias interp, tilt distance)
+    are dense compares / mask-reduces on (rows, BLK) arrays (lane broadcasts
+    of (rows, 1) columns are supported and cheap);
+  * jnp.cumsum does not lower -- lane scans use pltpu.roll steps;
+  * hit deposit: hits park in per-lane pending registers and flush to a
+    compacted per-block queue every `flush_every` iterations (a lane that
+    hit is dead under stop-on-detection, so one register per lane suffices;
+    respawn is gated on an empty register).  The flush builds a sublane
+    one-hot (rows, BLK) against roll-scanned positions and lane-reduces --
+    replacing the reference's device-atomic hit append
+    (propagation_kernel.c.cl:329) with a deterministic scan.  The histogram
+    scatter-add runs OUTSIDE the kernel on the compacted queue.
+
+Supported (static) configuration: icecube-family media (incl. the
+separable-table photonics kind via tabulated factors is NOT yet wired --
+engine fallback), single spectrum, "detect" estimator with
+stop_on_detection, hard binning, no photon records.  `fused_supported()`
+reports whether a config can take this path; api/bench fall back to the
+engine otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import C_LIGHT
+from ..geometry import DetectorGeometry
+from ..medium.properties import MediumProperties
+from ..ops.lookup import compact_scatter_add, shifted_window_table
+from ..ops.spectrum import SpectrumTable
+from ..types import PropagationConfig, StepBatch
+from .engine import PropagationResult
+
+EPSILON = 1e-5
+BIG = 1e30
+LANES = 128
+
+STATE_FIELDS = ["photons_left", "in_flight", "x", "y", "z", "t",
+                "dx", "dy", "dz", "wlen", "inv_gv", "abs_left",
+                "pend_idx", "pend_w"]
+NSF = len(STATE_FIELDS)
+
+STEP_FIELDS = ["x", "y", "z", "t", "dir_x", "dir_y", "dir_z",
+               "length", "beta", "weight", "source_type"]
+NST = len(STEP_FIELDS)
+
+# scalar-parameter vector layout (SMEM f32)
+(PF_Z_START, PF_LAYER_H, PF_ALPHA, PF_KAPPA, PF_ABS_A, PF_ABS_B, PF_ABS_D,
+ PF_ABS_E, PF_AN_CA, PF_AN_SA, PF_AN_K1, PF_AN_K2, PF_AN_KZ, PF_MEAN_COS,
+ PF_LIU_FRAC, PF_R2, PF_PANCAKE, PF_MAX_SEG, PF_HIST_T0, PF_INV_HIST_DT,
+ PF_TILT_Z0, PF_TILT_INV_DZ, PF_TILT_CA, PF_TILT_SA, PF_BIAS_X0,
+ PF_BIAS_INV_DX, PF_N0, PF_N1, PF_N2, PF_N3, PF_N4, PF_G0, PF_G1, PF_G2,
+ PF_G3, PF_G4) = range(36)
+PF_TILT_D0 = 36
+PF_LEN = 52
+
+(CNT_GEN, CNT_HITS, CNT_WSUM, CNT_DROPPED, CNT_ALIVE, CNT_QUEUED) = range(6)
+
+
+class FusedSpec(NamedTuple):
+    """Static kernel specialization (hashable jit/static argument)."""
+    n_blocks: int
+    block_lanes: int       # lanes per grid program (multiple of 1024)
+    iters_per_call: int
+    flush_every: int       # pending-hit flush period (1 in parity mode)
+    queue_rows: int        # per-block queue rows of 128 entries
+    flush_rows: int        # max queue rows written per flush
+    K: int                 # layer-walk window radius
+    L: int
+    Lpad: int
+    Spad: int
+    Mpad: int
+    n_spec: int            # spectrum table length
+    n_bias: int
+    n_cells: int           # tilt cell count (0 = tilt disabled)
+    nd_tilt: int
+    aniso: bool
+    hist_n_bins: int
+    splits: int            # bf16 summands per table fetch (2 = ~2^-16 rel)
+    external_uniforms: bool
+    interpret: bool
+
+
+def _split_bf16(tab, n):
+    """n bf16 summands approximating an f32 table (exact one-hot selection
+    error ~2^-8 for n=1, ~2^-16 for n=2; ints < 2^16 exact at n=2)."""
+    parts = []
+    rem = tab
+    for _ in range(n):
+        p = rem.astype(jnp.bfloat16)
+        parts.append(p)
+        rem = rem - p.astype(jnp.float32)
+    return tuple(parts)
+
+
+def _fetch(splits, oh_bf16):
+    """sum_s splits[s] @ oh -- (C, L) x (L, BLK) -> (C, BLK) f32."""
+    out = None
+    for s in splits:
+        d = jnp.dot(s, oh_bf16, preferred_element_type=jnp.float32)
+        out = d if out is None else out + d
+    return out
+
+
+def _min_and_idx(vals, iota):
+    mi = jnp.min(vals, axis=0, keepdims=True)
+    idx = jnp.max(jnp.where(vals == mi, iota, -1), axis=0, keepdims=True)
+    return mi, idx
+
+
+def _lane_scan_incl(x, width):
+    """Inclusive cumsum along the lane axis of a (1, width) f32 row."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    s = 1
+    while s < width:
+        r = pltpu.roll(x, s, 1)
+        x = x + jnp.where(iota >= s, r, 0.0)
+        s *= 2
+    return x
+
+
+def _scatter_dir(cosa, sina, dx, dy, dz, u_azimuth):
+    """ops/rotations.scatter_direction_by_angle, inlined (kernel-safe)."""
+    b = 2.0 * jnp.pi * u_azimuth
+    cosb = jnp.cos(b)
+    sinb = jnp.sin(b)
+    sinth = jnp.sqrt(jnp.maximum(1.0 - dz * dz, 0.0))
+    safe_sinth = jnp.maximum(sinth, 1e-20)
+    gx = dx * cosa - (dy * cosb + dz * dx * sinb) * sina / safe_sinth
+    gy = dy * cosa + (dx * cosb - dz * dy * sinb) * sina / safe_sinth
+    gz = dz * cosa + sina * sinb * sinth
+    vx = sina * cosb
+    vy = sina * sinb
+    vz = cosa * jnp.sign(dz)
+    vertical = sinth <= 0.0
+    nx = jnp.where(vertical, vx, gx)
+    ny = jnp.where(vertical, vy, gy)
+    nz = jnp.where(vertical, vz, gz)
+    inv_norm = 1.0 / jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    return nx * inv_norm, ny * inv_norm, nz * inv_norm
+
+
+def _interp_solve(u, x0, x1, b0, b1, acu0):
+    """Inverse-CDF quadratic solve within a located segment (identical math
+    to ops/samplers.sample_interpolated_dist / the reference's
+    I3CLSimRandomValueInterpolatedDistribution.cxx:84-135)."""
+    slope = (b1 - b0) / (x1 - x0)
+    dy = u - acu0
+    s_zero = jnp.abs(slope) < 1e-20
+    b_zero = jnp.abs(b0) < 1e-20
+    safe_slope = jnp.where(s_zero, 1.0, slope)
+    safe_b = jnp.where(b_zero, 1.0, b0)
+    r_full = x0 + (jnp.sqrt(jnp.maximum(
+        dy * 2.0 * safe_slope / (safe_b * safe_b) + 1.0, 0.0)) - 1.0) \
+        * safe_b / safe_slope
+    r_bz = x0 + jnp.sqrt(jnp.maximum(2.0 * dy / safe_slope, 0.0))
+    r_sz = x0 + dy / safe_b
+    return jnp.where(b_zero & s_zero, x0,
+                     jnp.where(b_zero, r_bz, jnp.where(s_zero, r_sz, r_full)))
+
+
+def _make_kernel(spec: FusedSpec):
+    """Build the kernel body for a static spec."""
+    T = spec.iters_per_call
+    K = spec.K
+    W = 2 * K + 1
+    BLK = spec.block_lanes
+    RB = BLK // LANES
+    Spad, Mpad = spec.Spad, spec.Mpad
+    NBINS = spec.hist_n_bins
+    QCAP = spec.queue_rows * LANES
+    FMAX = spec.flush_rows * LANES
+
+    def kernel(*refs):
+        if spec.external_uniforms:
+            (pf_ref, seed_ref, walk_ref, tilt_ref, acu_ref, co_ref,
+             bias_ref, strT_ref, rel_ref, steps_ref, state_ref, uni_ref,
+             state_out, qidx_out, qw_out, cnt_out) = refs
+        else:
+            uni_ref = None
+            (pf_ref, seed_ref, walk_ref, tilt_ref, acu_ref, co_ref,
+             bias_ref, strT_ref, rel_ref, steps_ref, state_ref,
+             state_out, qidx_out, qw_out, cnt_out) = refs
+
+        pf = lambda i: pf_ref[i]
+
+        if not spec.external_uniforms:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
+
+        qidx_out[:] = jnp.zeros_like(qidx_out[:])
+        qw_out[:] = jnp.zeros_like(qw_out[:])
+
+        # ---- tables (VMEM-resident, bf16 split pairs precomputed) ----
+        walk_splits = _split_bf16(walk_ref[:], spec.splits)   # (3Wp, Lpad)
+        rel_splits = _split_bf16(rel_ref[:], spec.splits)     # (4Mp+8, Spad)
+        if spec.n_cells:
+            tilt_splits = _split_bf16(tilt_ref[:], spec.splits)
+        acu_col = acu_ref[:]          # (npad, 1)
+        co_tab = co_ref[:]            # (nseg_pad, 5): x0 x1 b0 b1 acu0
+        bias_tab = bias_ref[:]        # (nbpad, 2): fp0 fp1
+        strT = strT_ref[:]            # (Spad, 8)
+
+        iota_S = jax.lax.broadcasted_iota(jnp.int32, (Spad, BLK), 0)
+        iota_M = jax.lax.broadcasted_iota(jnp.int32, (Mpad, BLK), 0) \
+            .astype(jnp.float32)
+        iota_L = jax.lax.broadcasted_iota(jnp.int32, (spec.Lpad, BLK), 0)
+        iota_seg = jax.lax.broadcasted_iota(
+            jnp.int32, (co_tab.shape[0], BLK), 0)
+        iota_acu = jax.lax.broadcasted_iota(
+            jnp.int32, (acu_col.shape[0], BLK), 0)
+        iota_bias = jax.lax.broadcasted_iota(
+            jnp.int32, (bias_tab.shape[0], BLK), 0)
+
+        def ld(ref, f):
+            return ref[pl.ds(f * RB, RB), :]
+
+        stp = {name: ld(steps_ref, f) for f, name in enumerate(STEP_FIELDS)}
+        is_cherenkov = stp["source_type"] < 0.5
+
+        nco = [pf(PF_N0 + i) for i in range(5)]
+        gco = [pf(PF_G0 + i) for i in range(5)]
+
+        def poly4(c, x):
+            return c[0] + x * (c[1] + x * (c[2] + x * (c[3] + x * c[4])))
+
+        flat = lambda a: a.reshape(1, BLK)
+        tile = lambda a: a.reshape(RB, LANES)
+
+        def sample_wavelength(uw_f):
+            """Single-spectrum inverse-CDF sampling, flat (1, BLK)."""
+            cmp = (acu_col <= uw_f).astype(jnp.float32)      # (npad, BLK)
+            kseg = jnp.sum(cmp, axis=0, keepdims=True) - 1.0
+            kseg = jnp.clip(kseg, 0.0, float(spec.n_spec - 2))
+            m = (iota_seg == kseg.astype(jnp.int32)).astype(jnp.float32)
+            cols = [jnp.sum(m * co_tab[:, c:c + 1], axis=0, keepdims=True)
+                    for c in range(5)]
+            return _interp_solve(uw_f, *cols)
+
+        def wavelength_bias(wl):
+            """Uniform-grid bias interp (exact VPU fetch), tiled shapes."""
+            bxi = (wl - pf(PF_BIAS_X0)) * pf(PF_BIAS_INV_DX)
+            bk = jnp.clip(jnp.floor(bxi), 0.0, float(spec.n_bias - 2))
+            bfrac = jnp.clip(bxi - bk, 0.0, 1.0)
+            mk = (iota_bias == flat(bk).astype(jnp.int32))
+            mkf = mk.astype(jnp.float32)
+            f0 = jnp.sum(mkf * bias_tab[:, 0:1], axis=0, keepdims=True)
+            f1 = jnp.sum(mkf * bias_tab[:, 1:2], axis=0, keepdims=True)
+            return tile(f0) + bfrac * (tile(f1) - tile(f0))
+
+        def tilt_shift(x, y, z):
+            """medium/tilt.tilt_z_shift ported to flat + bf16 cell fetch."""
+            if not spec.n_cells:
+                return jnp.zeros_like(z)
+            nz_cols = spec.n_cells // (spec.nd_tilt - 1)     # nz - 1
+            zr = (z - pf(PF_TILT_Z0)) * pf(PF_TILT_INV_DZ)
+            kz = jnp.clip(jnp.floor(zr), 0.0, float(nz_cols - 1))
+            fz_above = zr - kz
+            fz_below = 1.0 - fz_above
+            nr = pf(PF_TILT_CA) * x + pf(PF_TILT_SA) * y
+            j = jnp.ones_like(z)
+            for jj in range(1, spec.nd_tilt - 1):
+                j = jnp.where(nr >= pf(PF_TILT_D0 + jj), float(jj + 1), j)
+            cell = (j - 1.0) * float(nz_cols) + kz
+            iota_c = jax.lax.broadcasted_iota(
+                jnp.int32, (tilt_splits[0].shape[1], BLK), 0)
+            oh = (iota_c == flat(cell).astype(jnp.int32)).astype(jnp.bfloat16)
+            rows = _fetch([s for s in tilt_splits], oh)      # (8, BLK)
+            rows = rows.reshape(8, RB, LANES)
+            d_lo, d_hi = rows[0], rows[1]
+            q_ll, q_lh, q_hl, q_hh = rows[2], rows[3], rows[4], rows[5]
+            frac_lo = (d_hi - nr) / (d_hi - d_lo)
+            frac_hi = 1.0 - frac_lo
+            val_lo = q_lh * fz_above + q_ll * fz_below
+            val_hi = q_hh * fz_above + q_hl * fz_below
+            return val_hi * frac_hi + val_lo * frac_lo
+
+        def flush(pend_idx, pend_w, head, n_dropped):
+            """Compact pending hits into the queue; returns cleared regs."""
+            fw = flat(pend_w)
+            fi = flat(pend_idx)
+            hit = fw > 0.0
+            cs = _lane_scan_incl(hit.astype(jnp.float32), BLK)
+            nh = jnp.max(cs)
+            pos = jnp.where(hit, cs - 1.0, -1.0)
+            headf = head.astype(jnp.float32)
+            col0 = headf - jnp.floor(headf / LANES) * LANES
+            row0 = (head // LANES).astype(jnp.int32)
+            kept = jnp.minimum(jnp.minimum(nh, float(FMAX) - col0),
+                               jnp.maximum(float(QCAP) - headf, 0.0))
+            pos = jnp.where(pos < kept, pos, -1.0)
+
+            @pl.when(nh > 0.0)
+            def _():
+                relpos = pos + col0                          # (1, BLK)
+                iq = jax.lax.broadcasted_iota(jnp.int32, (LANES, BLK), 0)
+                for f in range(spec.flush_rows):
+                    ohf = (iq == flat(relpos - f * LANES).astype(jnp.int32)) \
+                        & (pos >= 0.0)
+                    rw = jnp.sum(jnp.where(ohf, fw, 0.0), axis=1,
+                                 keepdims=True)              # (128, 1)
+                    ri = jnp.sum(jnp.where(ohf, fi, 0.0), axis=1,
+                                 keepdims=True)
+                    packed = jnp.concatenate([rw, ri], axis=1)   # (128, 2)
+                    rows2 = jnp.transpose(packed, (1, 0))        # (2, 128)
+                    rr = jnp.minimum(row0 + f, spec.queue_rows - 1)
+
+                    @pl.when(row0 + f < spec.queue_rows)
+                    def _():
+                        qw_out[pl.ds(rr, 1), :] = \
+                            qw_out[pl.ds(rr, 1), :] + rows2[0:1]
+                        qidx_out[pl.ds(rr, 1), :] = \
+                            qidx_out[pl.ds(rr, 1), :] + rows2[1:2]
+
+            head = head + kept.astype(jnp.int32)
+            n_dropped = n_dropped + (nh - kept)
+            zero = jnp.zeros_like(pend_w)
+            return zero, zero, head, n_dropped
+
+        def body(i, carry):
+            (photons_left, in_flight, x, y, z, t, dx, dy, dz, wlen, inv_gv,
+             abs_left, pend_idx, pend_w, head, n_gen, n_hits, w_sum,
+             n_dropped) = carry
+
+            if spec.external_uniforms:
+                uu = uni_ref[pl.ds(i * 8 * RB, 8 * RB), :]
+            else:
+                bits = pltpu.prng_random_bits((8 * RB, LANES))
+                bits = pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(8)
+                uu = pltpu.bitcast(bits, jnp.int32).astype(jnp.float32) \
+                    * (2.0 ** -24)
+            u = [uu[c * RB:(c + 1) * RB, :] for c in range(8)]
+
+            # ---------- spawn (createPhotonFromTrack, kernel:132-184) -----
+            fresh = (in_flight < 0.5) & (photons_left > 0.5) & (pend_w <= 0.0)
+            shift = stp["length"] * u[0]
+            px = stp["x"] + stp["dir_x"] * shift
+            py = stp["y"] + stp["dir_y"] * shift
+            pz = stp["z"] + stp["dir_z"] * shift
+            pt = stp["t"] + shift / (C_LIGHT * stp["beta"])
+
+            new_wlen = tile(sample_wavelength(flat(u[1])))
+            wl_um = new_wlen * 1e-3
+            n_phase = poly4(nco, wl_um)
+            n_group = n_phase * poly4(gco, wl_um)
+            cos_c = jnp.minimum(1.0, 1.0 / (stp["beta"] * n_phase))
+            sin_c = jnp.sqrt(jnp.maximum(1.0 - cos_c * cos_c, 0.0))
+            cdx, cdy, cdz = _scatter_dir(cos_c, sin_c, stp["dir_x"],
+                                         stp["dir_y"], stp["dir_z"], u[2])
+            ndx = jnp.where(is_cherenkov, cdx, stp["dir_x"])
+            ndy = jnp.where(is_cherenkov, cdy, stp["dir_y"])
+            ndz = jnp.where(is_cherenkov, cdz, stp["dir_z"])
+            abs_init = -jnp.log(1.0 - u[3])
+
+            sel = lambda new, old: jnp.where(fresh, new, old)
+            x = sel(px, x); y = sel(py, y); z = sel(pz, z); t = sel(pt, t)
+            dx = sel(ndx, dx); dy = sel(ndy, dy); dz = sel(ndz, dz)
+            wlen = sel(new_wlen, wlen)
+            inv_gv = sel(n_group / C_LIGHT, inv_gv)
+            abs_left = sel(abs_init, abs_left)
+            freshf = fresh.astype(jnp.float32)
+            in_flight = jnp.maximum(in_flight, freshf)
+            photons_left = photons_left - freshf
+            n_gen = n_gen + jnp.sum(freshf)
+            active = in_flight > 0.5
+
+            # ---------- budgets + anisotropy (kernel:615-694) -------------
+            if spec.aniso:
+                ca, sa = pf(PF_AN_CA), pf(PF_AN_SA)
+                k1, k2, kz = pf(PF_AN_K1), pf(PF_AN_K2), pf(PF_AN_KZ)
+                l1, l2, l3 = k1 * k1, k2 * k2, kz * kz
+                B2 = 1.0 / l1 + 1.0 / l2 + 1.0 / l3
+                n1 = ca * dx + sa * dy
+                n2 = -sa * dx + ca * dy
+                s1, s2, s3 = n1 * n1, n2 * n2, dz * dz
+                nB = s1 / l1 + s2 / l2 + s3 / l3
+                An = s1 * l1 + s2 * l2 + s3 * l3
+                abs_corr = 2.0 / ((B2 - nB) * An)
+            else:
+                abs_corr = jnp.ones_like(dx)
+            sca_budget = -jnp.log(1.0 - u[4])
+            abs_budget = abs_left * abs_corr
+
+            # ---------- tilt + layer walk (kernel:598-696) -----------------
+            shift_z = tilt_shift(x, y, z)
+            z_eff = z - shift_z
+            hL = pf(PF_LAYER_H)
+            j0f = jnp.floor((z_eff - pf(PF_Z_START)) / hL)
+            j0 = jnp.clip(j0f, 0.0, float(spec.L - 1))
+
+            oh_w = (iota_L == flat(j0).astype(jnp.int32)).astype(jnp.bfloat16)
+            win = _fetch(walk_splits, oh_w)                  # (3Wp, BLK)
+            win3 = win.reshape(win.shape[0], RB, LANES)
+
+            gs = (wlen / 400.0) ** (-pf(PF_ALPHA))
+            xkap = wlen ** (-pf(PF_KAPPA))
+            ebx = pf(PF_ABS_A) * jnp.exp(-pf(PF_ABS_B) / wlen)
+            pa = pf(PF_ABS_D) * xkap
+            qa = pf(PF_ABS_E) * xkap + ebx
+            ra = 0.01 * ebx
+
+            going_up = dz >= 0.0
+            abs_dz = jnp.abs(dz)
+            vertical = abs_dz < EPSILON
+            boundary_z = pf(PF_Z_START) + j0 * hL \
+                + jnp.where(going_up, hL, 0.0)
+            safe_dz = jnp.where(vertical, 1.0, dz)
+            t_bound0 = jnp.where(vertical, BIG, (boundary_z - z_eff) / safe_dz)
+            t_bound0 = jnp.where(t_bound0 < 0.0, BIG, t_bound0)
+            t_step = jnp.where(vertical, BIG, hL / jnp.maximum(abs_dz, 1e-20))
+
+            def layer_vals(k):
+                b = jnp.where(going_up, win3[K + k], win3[K - k])
+                a = jnp.where(going_up, win3[W + K + k], win3[W + K - k])
+                dt_ = jnp.where(going_up, win3[2 * W + K + k],
+                                win3[2 * W + K - k])
+                return gs * b, pa * a + qa + ra * dt_
+
+            zeros = jnp.zeros_like(x)
+            t_done, t_bound = zeros, t_bound0
+            tau_s, tau_a = sca_budget, abs_budget
+            done = jnp.zeros_like(x, dtype=bool)
+            d_scat, d_abs = zeros, zeros
+            inv_a_fin = jnp.ones_like(x)
+            max_seg = pf(PF_MAX_SEG)
+            for k in range(K + 1):
+                inv_s_k, inv_a_k = layer_vals(k)
+                d_s = t_done + tau_s / inv_s_k
+                d_a = t_done + tau_a / inv_a_k
+                cur_j = j0 + float(k) * jnp.where(going_up, 1.0, -1.0)
+                at_edge = (going_up & (cur_j >= spec.L - 1)) | \
+                          ((~going_up) & (cur_j <= 0))
+                exhaust = t_bound >= jnp.minimum(d_s, d_a)
+                past_cap = t_bound >= max_seg
+                cross = (~done) & (~at_edge) & (~exhaust) & (~past_cap)
+                finalize = (~done) & (~cross)
+                d_scat = jnp.where(finalize, d_s, d_scat)
+                d_abs = jnp.where(finalize, d_a, d_abs)
+                inv_a_fin = jnp.where(finalize, inv_a_k, inv_a_fin)
+                dtb = t_bound - t_done
+                tau_s = jnp.where(cross, tau_s - dtb * inv_s_k, tau_s)
+                tau_a = jnp.where(cross, tau_a - dtb * inv_a_k, tau_a)
+                t_done = jnp.where(cross, t_bound, t_done)
+                t_bound = jnp.where(cross, t_bound + t_step, t_bound)
+                done = done | finalize
+            inv_s_last, inv_a_last = layer_vals(K)
+            d_scat = jnp.where(done, d_scat, t_done + tau_s / inv_s_last)
+            d_abs = jnp.where(done, d_abs, t_done + tau_a / inv_a_last)
+            inv_a_fin = jnp.where(done, inv_a_fin, inv_a_last)
+
+            absorbed = d_abs < d_scat
+            d_prop = jnp.minimum(jnp.minimum(d_scat, d_abs), max_seg)
+            capped = (~absorbed & (d_scat > max_seg)) | \
+                     (absorbed & (d_abs > max_seg))
+            absorbed = absorbed & ~capped
+            scattered = (~absorbed) & (~capped)
+            # remaining corrected budget after d_prop (engine.py:279-281)
+            abs_left_corr = jnp.maximum(tau_a - (d_prop - t_done) * inv_a_fin,
+                                        0.0)
+            abs_left_corr = jnp.where(absorbed, 0.0, abs_left_corr)
+
+            # ---------- collision (sparse_collision_kernel.c.cl) ----------
+            dir_xy2 = dx * dx + dy * dy
+            has_xy = dir_xy2 > 0.0
+            inv_dir_xy2 = 1.0 / jnp.maximum(dir_xy2, 1e-20)
+            R2 = pf(PF_R2)
+            Rcol = jnp.sqrt(R2)
+            pancake = pf(PF_PANCAKE)
+
+            fx_, fy_, fz_ = flat(x), flat(y), flat(z)
+            fdx, fdy, fdz = flat(dx), flat(dy), flat(dz)
+            fdp = flat(d_prop)
+            fact = flat((active & has_xy).astype(jnp.float32)) > 0.5
+            finv = flat(inv_dir_xy2)
+
+            sxc = strT[:, 0:1]
+            syc = strT[:, 1:2]
+            minzc = strT[:, 2:3]
+            maxzc = strT[:, 3:4]
+            maxr2c = strT[:, 4:5]
+
+            rx = sxc - fx_                                   # (Spad, BLK)
+            ry = syc - fy_
+            t2d = jnp.clip((rx * fdx + ry * fdy) * finv, 0.0, fdp)
+            cx = fx_ + fdx * t2d - sxc
+            cy = fy_ + fdy * t2d - syc
+            dist2 = cx * cx + cy * cy
+            pass_r = dist2 <= maxr2c
+            pass_z = ~((fdz > 0) & (fz_ > maxzc + Rcol)) \
+                & ~((fdz < 0) & (fz_ < minzc - Rcol))
+            cand = pass_r & pass_z & fact
+            ranked = jnp.where(cand, dist2, BIG)
+
+            hit_f = jnp.zeros((1, BLK), bool)
+            dist_f = fdp
+            dom_f = jnp.zeros((1, BLK), jnp.float32)
+            for _k in range(2):
+                mi, sidx = _min_and_idx(ranked, iota_S)
+                s_ok = mi < BIG
+                mask = (iota_S == sidx)
+                ranked = jnp.where(mask, BIG, ranked)
+                rel = _fetch(rel_splits, mask.astype(jnp.bfloat16))
+                # rows: dxr(Mp) dyr(Mp) dzr(Mp) valid(Mp) then 8 features
+                fxs = rel[4 * Mpad + 0:4 * Mpad + 1]
+                fys = rel[4 * Mpad + 1:4 * Mpad + 2]
+                fz0 = rel[4 * Mpad + 2:4 * Mpad + 3]
+                fdzf = rel[4 * Mpad + 3:4 * Mpad + 4]
+                foff = rel[4 * Mpad + 4:4 * Mpad + 5]
+                dom_xx = fxs + rel[0:Mpad]
+                dom_yy = fys + rel[Mpad:2 * Mpad]
+                dom_zz = fz0 + fdzf * iota_M + rel[2 * Mpad:3 * Mpad]
+                valid = (rel[3 * Mpad:4 * Mpad] > 0.5) & s_ok
+                slot_dom = foff + iota_M
+                ox = dom_xx - fx_
+                oy = dom_yy - fy_
+                oz = dom_zz - fz_
+                dr2 = ox * ox + oy * oy + oz * oz
+                urdot = ox * fdx + oy * fdy + oz * fdz
+                discr = urdot * urdot - dr2 + R2
+                sq = jnp.sqrt(jnp.maximum(discr, 0.0)) / pancake
+                smin1 = urdot - sq
+                smin2 = urdot + sq
+                good = valid & (discr >= 0.0) & (smin2 >= 0.0) \
+                    & (smin1 >= 0.0) & (smin1 < dist_f)
+                sm = jnp.where(good, smin1, BIG)
+                best = jnp.min(sm, axis=0, keepdims=True)
+                domb = jnp.max(jnp.where(sm == best, slot_dom, -1.0),
+                               axis=0, keepdims=True)
+                found = best < BIG
+                hit_f = hit_f | found
+                dom_f = jnp.where(found, domb, dom_f)
+                dist_f = jnp.where(found, best, dist_f)
+
+            hit = tile(hit_f.astype(jnp.float32)) > 0.5
+            hit_dist = tile(dist_f)
+            hit_dom = tile(dom_f)
+            hit_act = hit & active
+
+            # stop-on-detection (detect estimator; engine.py:463-470)
+            d_prop = jnp.where(hit_act, hit_dist, d_prop)
+            absorbed = absorbed & ~hit_act
+            scattered = scattered & ~hit_act
+            abs_left_corr = jnp.where(hit_act, 0.0, abs_left_corr)
+
+            # ---------- record (saveHit weight contract, kernel:370) -------
+            bias = wavelength_bias(wlen)
+            w_hit = jnp.where(hit_act,
+                              stp["weight"] / jnp.maximum(bias, 1e-20), 0.0)
+            t_hit = t + inv_gv * hit_dist
+            tbin = jnp.clip(
+                jnp.floor((t_hit - pf(PF_HIST_T0)) * pf(PF_INV_HIST_DT)),
+                0.0, float(NBINS - 1))
+            flat_idx = hit_dom * float(NBINS) + tbin
+            n_hits = n_hits + jnp.sum(hit_act.astype(jnp.float32))
+            w_sum = w_sum + jnp.sum(w_hit)
+            # park hits in the pending registers (free: the lane just died)
+            pend_idx = jnp.where(hit_act, flat_idx, pend_idx)
+            pend_w = jnp.where(hit_act, w_hit, pend_w)
+
+            # ---------- advance ----------
+            actf = in_flight
+            x = x + actf * dx * d_prop
+            y = y + actf * dy * d_prop
+            z = z + actf * dz * d_prop
+            t = t + actf * inv_gv * d_prop
+            abs_left = jnp.where(active, abs_left_corr / abs_corr, abs_left)
+
+            # ---------- scatter survivors ----------
+            do_scatter = scattered & active
+            if spec.aniso:
+                pdx0 = ca * dx + sa * dy
+                pdy0 = -sa * dx + ca * dy
+                n1_, n2_, n3_ = pdx0 * k1, pdy0 * k2, dz * kz
+                oxp = ca * n1_ - sa * n2_
+                oyp = sa * n1_ + ca * n2_
+                inv_n = 1.0 / jnp.sqrt(oxp * oxp + oyp * oyp + n3_ * n3_)
+                pdx, pdy, pdz = oxp * inv_n, oyp * inv_n, n3_ * inv_n
+            else:
+                pdx, pdy, pdz = dx, dy, dz
+            g = pf(PF_MEAN_COS)
+            beta_liu = (1.0 - g) / (1.0 + g)
+            liu = jnp.clip(2.0 * u[6] ** beta_liu - 1.0, -1.0, 1.0)
+            g_safe = jnp.where(jnp.abs(g) < 1e-6, 1e-6, g)
+            svar = 2.0 * u[6] - 1.0
+            frac2 = (1.0 - g_safe * g_safe) / (1.0 + g_safe * svar)
+            hg = (1.0 + g_safe * g_safe - frac2 * frac2) / (2.0 * g_safe)
+            hg = jnp.where(jnp.abs(g) < 1e-6, svar, jnp.clip(hg, -1.0, 1.0))
+            cos_s = jnp.where(u[5] < pf(PF_LIU_FRAC), liu, hg)
+            sin_s = jnp.sqrt(jnp.maximum(1.0 - cos_s * cos_s, 0.0))
+            sdx2, sdy2, sdz2 = _scatter_dir(cos_s, sin_s, pdx, pdy, pdz, u[7])
+            if spec.aniso:
+                m1 = ca * sdx2 + sa * sdy2
+                m2 = -sa * sdx2 + ca * sdy2
+                n1_, n2_, n3_ = m1 / k1, m2 / k2, sdz2 / kz
+                oxp = ca * n1_ - sa * n2_
+                oyp = sa * n1_ + ca * n2_
+                inv_n = 1.0 / jnp.sqrt(oxp * oxp + oyp * oyp + n3_ * n3_)
+                sdx2, sdy2, sdz2 = oxp * inv_n, oyp * inv_n, n3_ * inv_n
+            dx = jnp.where(do_scatter, sdx2, dx)
+            dy = jnp.where(do_scatter, sdy2, dy)
+            dz = jnp.where(do_scatter, sdz2, dz)
+
+            # ---------- retire ----------
+            died = active & (absorbed | (abs_left < EPSILON) | hit_act)
+            in_flight = jnp.where(died, 0.0, in_flight)
+
+            return (photons_left, in_flight, x, y, z, t, dx, dy, dz, wlen,
+                    inv_gv, abs_left, pend_idx, pend_w, head, n_gen,
+                    n_hits, w_sum, n_dropped)
+
+        def outer_body(oi, carry):
+            # flush_every inner iterations, then one unconditional flush
+            # (a static structure: no data-dependent control flow needed)
+            def inner(ii, c):
+                return body(oi * spec.flush_every + ii, c)
+            carry = jax.lax.fori_loop(0, spec.flush_every, inner, carry)
+            pend_idx, pend_w, head, n_dropped = flush(
+                carry[NSF - 2], carry[NSF - 1], carry[NSF], carry[NSF + 4])
+            return carry[:NSF - 2] + (pend_idx, pend_w, head) \
+                + carry[NSF + 1:NSF + 4] + (n_dropped,)
+
+        st = [ld(state_ref, f) for f in range(NSF)]
+        zero = jnp.zeros((), jnp.float32)
+        carry0 = tuple(st) + (jnp.zeros((), jnp.int32), zero, zero, zero,
+                              zero)
+        final = jax.lax.fori_loop(0, T // spec.flush_every, outer_body,
+                                  carry0)
+
+        for f in range(NSF):
+            state_out[pl.ds(f * RB, RB), :] = final[f]
+
+        head, n_gen, n_hits, w_sum, n_dropped = final[NSF:]
+        alive = jnp.sum(((final[1] > 0.5) | (final[0] > 0.5))
+                        .astype(jnp.float32))
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        cnt = jnp.where(lane_i == CNT_GEN, n_gen, 0.0)
+        cnt = cnt + jnp.where(lane_i == CNT_HITS, n_hits, 0.0)
+        cnt = cnt + jnp.where(lane_i == CNT_WSUM, w_sum, 0.0)
+        cnt = cnt + jnp.where(lane_i == CNT_DROPPED, n_dropped, 0.0)
+        cnt = cnt + jnp.where(lane_i == CNT_ALIVE, alive, 0.0)
+        cnt = cnt + jnp.where(lane_i == CNT_QUEUED,
+                              head.astype(jnp.float32), 0.0)
+        cnt_out[:] = jnp.concatenate(
+            [cnt, jnp.zeros((7, LANES), jnp.float32)], axis=0)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# host-side input preparation
+# ---------------------------------------------------------------------------
+
+def _pad2(a, rmult=8, cmult=8, fill=0.0):
+    """Pad a traced 2-D array to multiples (jnp; differentiable-safe)."""
+    a = jnp.asarray(a, jnp.float32)
+    rp = (-a.shape[0]) % rmult
+    cp = (-a.shape[1]) % cmult
+    return jnp.pad(a, ((0, rp), (0, cp)), constant_values=fill)
+
+
+def fused_supported(medium: MediumProperties, spectra: SpectrumTable,
+                    cfg: PropagationConfig) -> Optional[str]:
+    """None if the fused kernel handles this configuration, else the reason
+    the caller must fall back to the engine."""
+    if medium.medium_kind != "icecube":
+        return f"medium kind {medium.medium_kind!r} (engine only)"
+    if np.asarray(spectra.x).shape[0] != 1:
+        return "multiple spectra (flasher dispatch) not fused yet"
+    if cfg.estimator != "detect" or not cfg.stop_on_detection:
+        return "only detect+stop_on_detection is fused"
+    if cfg.save_photons or cfg.save_all_photons:
+        return "photon records not fused"
+    if cfg.soft_binning:
+        return "soft binning not fused"
+    if cfg.fixed_abs_lens > 0:
+        return "fixed-absorption-length mode not fused"
+    bx = np.asarray(spectra.bias_x)
+    if bx.shape[0] >= 2 and not np.allclose(np.diff(bx), bx[1] - bx[0],
+                                            rtol=1e-5):
+        return "non-uniform bias grid"
+    if medium.scattering.kind != "icecube":
+        return "tabulated scattering angles not fused"
+    return None
+
+
+def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
+                n_slots, iters_per_call, flush_every, queue_rows,
+                block_lanes, splits, external_uniforms, interpret
+                ) -> FusedSpec:
+    S, M, _ = geo.string_dom_rel.shape
+    K = cfg.max_layer_steps
+    tilt_enabled = medium.tilt.enabled
+    nd = int(medium.tilt.distances.shape[0]) if tilt_enabled else 0
+    nz = int(medium.tilt.z_corrections.shape[1]) if tilt_enabled else 0
+    return FusedSpec(
+        n_blocks=n_slots // block_lanes,
+        block_lanes=block_lanes,
+        iters_per_call=iters_per_call,
+        flush_every=flush_every,
+        queue_rows=queue_rows,
+        flush_rows=min(4, queue_rows),
+        K=K,
+        L=medium.n_layers,
+        Lpad=-(-medium.n_layers // 8) * 8,
+        Spad=-(-S // 8) * 8,
+        Mpad=-(-M // 8) * 8,
+        n_spec=int(np.asarray(spectra.x).shape[1]),
+        n_bias=int(np.asarray(spectra.bias_x).shape[0]),
+        n_cells=(nd - 1) * (nz - 1) if tilt_enabled else 0,
+        nd_tilt=nd,
+        aniso=medium.anisotropy.enabled,
+        hist_n_bins=cfg.hist_n_bins,
+        splits=splits,
+        external_uniforms=external_uniforms,
+        interpret=interpret,
+    )
+
+
+def _build_tables(spec: FusedSpec, medium: MediumProperties,
+                  geo: DetectorGeometry, spectra: SpectrumTable,
+                  cfg: PropagationConfig):
+    """Device-side (traced) table construction; runs inside the jit."""
+    K = spec.K
+    # walk window: (L, 3(2K+1)) -> transposed (3(2K+1)pad, Lpad)
+    Wb = shifted_window_table(medium.b400, K)
+    Wa = shifted_window_table(medium.a_dust400, K)
+    Wt = shifted_window_table(medium.delta_tau, K)
+    walk = _pad2(jnp.concatenate([Wb, Wa, Wt], axis=1).T, fill=1e-3)
+
+    if spec.n_cells:
+        p = medium.tilt
+        nd, nz = p.z_corrections.shape
+        zc = p.z_corrections
+        cell = jnp.stack([
+            jnp.repeat(p.distances[:-1], nz - 1),
+            jnp.repeat(p.distances[1:], nz - 1),
+            zc[:-1, :-1].reshape(-1), zc[:-1, 1:].reshape(-1),
+            zc[1:, :-1].reshape(-1), zc[1:, 1:].reshape(-1),
+        ], axis=1)                                   # (cells, 6)
+        tilt_tab = _pad2(jnp.concatenate(
+            [cell, jnp.zeros((cell.shape[0], 2))], axis=1).T)  # (8, cellpad)
+        # padded distance cells must keep d_hi > d_lo to avoid 0/0
+        tilt_tab = tilt_tab.at[1, spec.n_cells:].set(1.0)
+    else:
+        tilt_tab = jnp.zeros((8, 8), jnp.float32).at[1, :].set(1.0)
+
+    acu = jnp.asarray(spectra.acu[0], jnp.float32)
+    acu_col = _pad2(acu[:, None], cmult=1, fill=2.0)          # (npad, 1)
+    xs = jnp.asarray(spectra.x[0], jnp.float32)
+    beta = jnp.asarray(spectra.beta[0], jnp.float32)
+    co = jnp.stack([xs[:-1], xs[1:], beta[:-1], beta[1:], acu[:-1]],
+                   axis=1)                                    # (n-1, 5)
+    co_tab = _pad2(co, cmult=1)
+    # padded segments must keep x1 > x0 (slope denominator)
+    co_tab = co_tab.at[spec.n_spec - 1:, 1].set(1.0)
+
+    by = jnp.asarray(spectra.bias_y, jnp.float32)
+    bias_tab = _pad2(jnp.stack([by[:-1], by[1:]], axis=1), cmult=1)
+
+    # string table (Spad, 8): sx sy minz maxz maxr2 [unused x3]
+    n_str = geo.string_x.shape[0]
+    strT = jnp.zeros((spec.Spad, 8), jnp.float32)
+    strT = strT.at[:n_str, 0].set(geo.string_x)
+    strT = strT.at[:n_str, 1].set(geo.string_y)
+    strT = strT.at[:n_str, 2].set(geo.string_min_z)
+    strT = strT.at[:n_str, 3].set(geo.string_max_z)
+    strT = strT.at[:, 4].set(-1.0)
+    strT = strT.at[:n_str, 4].set(geo.string_max_r ** 2)
+
+    # rel table rows: dx(Mp) dy(Mp) dz(Mp) valid(Mp) + 8 feature rows
+    S, M, _ = geo.string_dom_rel.shape
+    rel = jnp.zeros((4 * spec.Mpad + 8, spec.Spad), jnp.float32)
+    for c in range(4):
+        rel = rel.at[c * spec.Mpad:c * spec.Mpad + M, :S].set(
+            geo.string_dom_rel[:, :, c].T)
+    feats = geo.string_features  # (S, 8): x y minz maxz z0 dzf off ndoms
+    for fi, col in enumerate((0, 1, 4, 5, 6)):
+        rel = rel.at[4 * spec.Mpad + fi, :S].set(feats[:, col])
+    return walk, tilt_tab, acu_col, co_tab, bias_tab, strT, rel
+
+
+def _build_pf(medium: MediumProperties, geo: DetectorGeometry,
+              spectra: SpectrumTable, cfg: PropagationConfig):
+    pf = jnp.zeros((PF_LEN,), jnp.float32)
+    sets = {
+        PF_Z_START: medium.layers_z_start,
+        PF_LAYER_H: medium.layer_height,
+        PF_ALPHA: medium.alpha, PF_KAPPA: medium.kappa,
+        PF_ABS_A: medium.abs_A, PF_ABS_B: medium.abs_B,
+        PF_ABS_D: medium.abs_D, PF_ABS_E: medium.abs_E,
+        PF_MEAN_COS: medium.scattering.mean_cos,
+        PF_LIU_FRAC: medium.scattering.liu_fraction,
+        PF_R2: geo.collision_radius ** 2,
+        PF_PANCAKE: cfg.pancake_factor,
+        PF_MAX_SEG: cfg.max_segment_m,
+        PF_HIST_T0: cfg.hist_t_min,
+        PF_INV_HIST_DT: 1.0 / cfg.hist_dt,
+        PF_BIAS_X0: spectra.bias_x[0],
+        PF_BIAS_INV_DX: 1.0 / (spectra.bias_x[1] - spectra.bias_x[0]),
+    }
+    if medium.anisotropy.enabled:
+        an = medium.anisotropy
+        k1 = jnp.exp(an.mag_along)
+        k2 = jnp.exp(an.mag_perp)
+        sets.update({PF_AN_CA: jnp.cos(an.azimuth),
+                     PF_AN_SA: jnp.sin(an.azimuth),
+                     PF_AN_K1: k1, PF_AN_K2: k2,
+                     PF_AN_KZ: 1.0 / (k1 * k2)})
+    if medium.tilt.enabled:
+        tl = medium.tilt
+        sets.update({PF_TILT_Z0: tl.first_z,
+                     PF_TILT_INV_DZ: 1.0 / tl.z_spacing,
+                     PF_TILT_CA: tl.azimuth_cos, PF_TILT_SA: tl.azimuth_sin})
+        for j in range(tl.distances.shape[0]):
+            sets[PF_TILT_D0 + j] = tl.distances[j]
+    for i in range(5):
+        sets[PF_N0 + i] = medium.ref_index.n[i]
+        sets[PF_G0 + i] = medium.ref_index.g[i]
+    idx = jnp.asarray(sorted(sets), jnp.int32)
+    vals = jnp.stack([jnp.asarray(sets[i], jnp.float32)
+                      for i in sorted(sets)])
+    return pf.at[idx].set(vals)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_call(spec: FusedSpec):
+    RB = spec.block_lanes // LANES
+    T = spec.iters_per_call
+    nb = spec.n_blocks
+    kernel = _make_kernel(spec)
+
+    fixed = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    perblk = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)
+    pad8 = lambda v: -(-v // 8) * 8
+    cellpad = pad8(spec.n_cells) if spec.n_cells else 8
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),            # pf
+        pl.BlockSpec(memory_space=pltpu.SMEM),            # seed
+        fixed((pad8(3 * (2 * spec.K + 1)), spec.Lpad)),   # walk
+        fixed((8, cellpad)),                              # tilt
+        fixed((pad8(spec.n_spec), 1)),                    # acu
+        fixed((pad8(spec.n_spec - 1), 5)),                # co
+        fixed((pad8(spec.n_bias - 1), 2)),                # bias
+        fixed((spec.Spad, 8)),                            # strT
+        fixed((4 * spec.Mpad + 8, spec.Spad)),            # rel
+        perblk(NST * RB),                                 # steps
+        perblk(NSF * RB),                                 # state
+    ]
+    if spec.external_uniforms:
+        in_specs.append(perblk(T * 8 * RB))
+
+    out_specs = [
+        perblk(NSF * RB),                                 # state out
+        perblk(spec.queue_rows),                          # qidx
+        perblk(spec.queue_rows),                          # qw
+        perblk(8),                                        # counters
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((nb * NSF * RB, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nb * spec.queue_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nb * spec.queue_rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nb * 8, LANES), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=spec.interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+
+def pack_state_arrays(fields, n_blocks, rb):
+    """Stack per-lane (N,) field arrays into (n_blocks*F*rb, 128)."""
+    F = len(fields)
+    a = jnp.stack([jnp.asarray(f, jnp.float32) for f in fields])  # (F, N)
+    a = a.reshape(F, n_blocks, rb, LANES).transpose(1, 0, 2, 3)
+    return a.reshape(n_blocks * F * rb, LANES)
+
+
+def unpack_state_array(packed, n_blocks, rb, n_fields):
+    a = packed.reshape(n_blocks, n_fields, rb, LANES).transpose(1, 0, 2, 3)
+    return a.reshape(n_fields, n_blocks * rb * LANES)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "spec", "max_calls", "scatter_cap"))
+def _run_fused(steps: StepBatch, medium: MediumProperties,
+               geo: DetectorGeometry, spectra: SpectrumTable, seed,
+               cfg: PropagationConfig, spec: FusedSpec,
+               max_calls: int, scatter_cap: int, uniforms=None):
+    nb = spec.n_blocks
+    RB = spec.block_lanes // LANES
+    call = _make_call(spec)
+    tables = _build_tables(spec, medium, geo, spectra, cfg)
+    pf = _build_pf(medium, geo, spectra, cfg)
+
+    steps_packed = pack_state_arrays(
+        [getattr(steps, f) for f in STEP_FIELDS], nb, RB)
+    n = steps.x.shape[0]
+    zf = jnp.zeros(n, jnp.float32)
+    init_fields = {
+        "photons_left": steps.num_photons.astype(jnp.float32),
+        "in_flight": zf, "x": zf, "y": zf, "z": zf, "t": zf,
+        "dx": zf, "dy": zf, "dz": jnp.ones(n, jnp.float32),
+        "wlen": jnp.full(n, 400.0, jnp.float32),
+        "inv_gv": jnp.full(n, 1.0 / 0.2, jnp.float32),
+        "abs_left": zf, "pend_idx": zf, "pend_w": zf,
+    }
+    state0 = pack_state_arrays([init_fields[f] for f in STATE_FIELDS],
+                               nb, RB)
+    hist0 = jnp.zeros(geo.n_doms * cfg.hist_n_bins, jnp.float32)
+    totals0 = jnp.zeros(6, jnp.float32)
+
+    def one_call(call_no, state):
+        seed_arr = (jnp.full((1,), seed, jnp.int32)
+                    + call_no.astype(jnp.int32) * 7919)
+        args = [pf, seed_arr, *tables, steps_packed, state]
+        if spec.external_uniforms:
+            args.append(uniforms)
+        return call(*args)
+
+    # the alive-based stop condition needs the *last* call's alive count
+    # (totals accumulates), so carry it separately
+    def body2(carry):
+        call_no, state, hist, totals, _ = carry
+        state, qidx, qw, cnt = one_call(call_no, state)
+        idx = qidx.reshape(-1).astype(jnp.int32)
+        w = qw.reshape(-1)
+        hist = compact_scatter_add(hist, idx, w, scatter_cap)
+        csum = jnp.sum(cnt[:, :6], axis=0)
+        totals = totals + csum
+        return (call_no + 1, state, hist, totals, csum[CNT_ALIVE])
+
+    def cond2(carry):
+        call_no, _, _, _, alive = carry
+        return ((call_no == 0) | (alive > 0.0)) & (call_no < max_calls)
+
+    call_no, state, hist, totals, _ = jax.lax.while_loop(
+        cond2, body2, (jnp.zeros((), jnp.int32), state0, hist0, totals0,
+                       jnp.ones((), jnp.float32)))
+
+    return PropagationResult(
+        hist=hist.reshape(geo.n_doms, cfg.hist_n_bins),
+        n_generated=totals[CNT_GEN],
+        n_hits=totals[CNT_HITS],
+        weight_hits=totals[CNT_WSUM],
+        n_iterations=call_no * spec.iters_per_call,
+    ), totals
+
+
+def propagate_fused(steps: StepBatch, medium: MediumProperties,
+                    geo: DetectorGeometry, spectra: SpectrumTable,
+                    seed: int, cfg: PropagationConfig,
+                    iters_per_call: int = 32,
+                    flush_every: int = 8,
+                    queue_rows: int = 32,
+                    block_lanes: int = 2048,
+                    splits: int = 2,
+                    max_calls: int = 256,
+                    scatter_cap: int = 8192,
+                    uniforms=None,
+                    interpret: bool = False) -> PropagationResult:
+    """Drive the fused kernel until all photons are drained.
+
+    `uniforms`: optional (T_total >= iters_per_call*max_calls, 8, n_slots)
+    array of externally-supplied uniforms (parity-testing mode; implies the
+    kernel consumes them instead of the on-core PRNG).
+
+    Returns the same PropagationResult contract as engine.propagate (without
+    photon records).  Extra diagnostics (dropped hits, queued counts) are
+    attached as `.diagnostics` on the result's hist array holder -- use the
+    second return of _run_fused for tests.
+    """
+    reason = fused_supported(medium, spectra, cfg)
+    if reason:
+        raise ValueError(f"fused path unsupported: {reason}")
+    n = int(steps.x.shape[0])
+    if n % block_lanes:
+        raise ValueError(f"n_slots {n} must be a multiple of {block_lanes}")
+    if iters_per_call % flush_every:
+        raise ValueError("iters_per_call must be a multiple of flush_every")
+    if uniforms is not None and max_calls != 1:
+        raise ValueError("external uniforms (parity mode) require "
+                         "max_calls=1: each call would replay the same "
+                         "uniform stream")
+    spec = _build_spec(medium, geo, spectra, cfg, n, iters_per_call,
+                       flush_every, queue_rows, block_lanes, splits,
+                       uniforms is not None, interpret)
+    if uniforms is not None:
+        uniforms = _layout_uniforms(uniforms, spec)
+    res, totals = _run_fused(steps, medium, geo, spectra, int(seed), cfg,
+                             spec, max_calls, scatter_cap,
+                             uniforms=uniforms)
+    return res, totals
+
+
+def _layout_uniforms(uniforms, spec: FusedSpec):
+    """(T, 8, N) -> packed (nb * T*8*RB, 128) matching the kernel reads."""
+    T = spec.iters_per_call
+    RB = spec.block_lanes // LANES
+    u = jnp.asarray(uniforms, jnp.float32)
+    if u.shape[0] < T:
+        raise ValueError(f"need >= {T} iterations of uniforms")
+    u = u[:T]                                       # (T, 8, N)
+    u = u.reshape(T, 8, spec.n_blocks, RB, LANES)
+    u = u.transpose(2, 0, 1, 3, 4)                  # (nb, T, 8, RB, 128)
+    return u.reshape(spec.n_blocks * T * 8 * RB, LANES)

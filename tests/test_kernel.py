@@ -1,0 +1,169 @@
+"""Fused Pallas kernel vs. reference engine parity tests.
+
+Runs the fused kernel in interpreter mode on CPU with an externally-supplied
+uniform stream and drives the engine's `_iteration` eagerly with the SAME
+uniforms -- the two implementations must then produce (near-)identical
+histograms, generated counts and hit counts.  Residual differences come only
+from the kernel's 2-summand bf16 table fetches (~2^-16 relative) and
+operation-order float rounding, bounded by the L1 tolerance."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clsim_tpu.geometry import hexagonal_geometry
+from clsim_tpu.medium.anisotropy import AnisotropyParams
+from clsim_tpu.medium.functions import DEFAULT_ICE_REF_INDEX
+from clsim_tpu.medium.properties import make_homogeneous_ice
+from clsim_tpu.medium.tilt import TiltParams
+from clsim_tpu.ops import rng as rng_mod
+from clsim_tpu.ops.spectrum import make_cherenkov_spectrum, stack_spectra
+from clsim_tpu.propagate import engine as E
+from clsim_tpu.propagate import kernel as FK
+from clsim_tpu.types import PropagationConfig, StepBatch
+
+N = 2048
+T = 16
+
+
+def _workload(medium_kw=None, aniso=False, tilt=False, seed=7):
+    medium = make_homogeneous_ice(
+        n_layers=12, z_start=-300.0, layer_height=50.0,
+        **(medium_kw or {}))
+    # per-layer structure so the walk actually crosses different coefficients
+    r = np.random.default_rng(3)
+    medium = medium._replace(
+        b400=jnp.asarray(0.02 + 0.03 * r.random(12), jnp.float32),
+        a_dust400=jnp.asarray(0.004 + 0.006 * r.random(12), jnp.float32),
+        delta_tau=jnp.asarray(0.5 + r.random(12), jnp.float32))
+    if aniso:
+        medium = medium._replace(anisotropy=AnisotropyParams(
+            azimuth=jnp.float32(3.9), mag_along=jnp.float32(0.04),
+            mag_perp=jnp.float32(-0.08), enabled=True))
+    if tilt:
+        nd, nz = 4, 9
+        medium = medium._replace(tilt=TiltParams(
+            distances=jnp.asarray([-800.0, -200.0, 300.0, 900.0]),
+            first_z=jnp.float32(-400.0),
+            z_spacing=jnp.float32(100.0),
+            z_corrections=jnp.asarray(
+                20.0 * r.standard_normal((nd, nz)), jnp.float32),
+            azimuth_cos=jnp.float32(np.cos(3.93)),
+            azimuth_sin=jnp.float32(np.sin(3.93)),
+            enabled=True))
+
+    geo = hexagonal_geometry(n_rings=1, string_spacing=60.0,
+                             doms_per_string=12, dom_spacing=15.0,
+                             z_top=80.0, oversize=8.0)
+    spectra = stack_spectra([make_cherenkov_spectrum(
+        DEFAULT_ICE_REF_INDEX, 265.0, 675.0)])
+    cfg = PropagationConfig(
+        n_slots=N, pancake_factor=4.0, hist_t_min=0.0, hist_t_max=1600.0,
+        hist_n_bins=64, max_layer_steps=6, max_segment_m=120.0,
+        stop_on_detection=True)
+
+    # cascade-like isotropic-ish step cloud just off-center (avoid exact
+    # symmetry ties between strings)
+    rr = np.random.default_rng(seed)
+    costh = rr.uniform(-1, 1, N)
+    sinth = np.sqrt(1 - costh ** 2)
+    phi = rr.uniform(0, 2 * np.pi, N)
+    steps = StepBatch(
+        x=np.full(N, 7.0, np.float32), y=np.full(N, -3.0, np.float32),
+        z=np.full(N, 11.0, np.float32), t=np.zeros(N, np.float32),
+        dir_x=(sinth * np.cos(phi)).astype(np.float32),
+        dir_y=(sinth * np.sin(phi)).astype(np.float32),
+        dir_z=costh.astype(np.float32),
+        length=np.full(N, 2.0, np.float32),
+        beta=np.ones(N, np.float32),
+        num_photons=np.full(N, 3, np.int32),
+        weight=np.ones(N, np.float32),
+        identifier=np.zeros(N, np.int32),
+        source_type=np.zeros(N, np.int32))
+    steps = StepBatch(*[jnp.asarray(f) for f in steps])
+
+    uniforms = rr.random((T, 8, N)).astype(np.float32)
+    return medium, geo, spectra, cfg, steps, uniforms
+
+
+def _run_engine_with_uniforms(steps, medium, geo, spectra, cfg, uniforms):
+    """Drive engine._iteration eagerly, injecting the given uniform stream."""
+    state = E._init_state(steps)
+    acc = E._init_acc(N, geo.n_doms, cfg)
+    counter = {"t": 0}
+    orig = rng_mod.uniforms
+
+    def fake(key, shape, n):
+        t = counter["t"]
+        counter["t"] += 1
+        return jnp.asarray(uniforms[t])
+
+    rng_mod.uniforms = fake
+    try:
+        key = jnp.asarray([0, 1], jnp.uint32)
+        for t in range(T):
+            state, acc = E._iteration(t, state, acc, steps, medium, geo,
+                                      spectra, cfg, key)
+    finally:
+        rng_mod.uniforms = orig
+    return state, acc
+
+
+def _run_kernel(steps, medium, geo, spectra, cfg, uniforms, flush_every=1):
+    res, totals = FK.propagate_fused(
+        steps, medium, geo, spectra, seed=0, cfg=cfg,
+        iters_per_call=T, flush_every=flush_every, queue_rows=32,
+        block_lanes=1024, max_calls=1, uniforms=uniforms, interpret=True)
+    return res, totals
+
+
+def _compare(acc_e, res_k, totals, geo, cfg, tol=2e-3):
+    he = np.asarray(acc_e.hist, np.float64)
+    hk = np.asarray(res_k.hist, np.float64).reshape(-1)
+    assert float(totals[FK.CNT_GEN]) == float(acc_e.n_generated)
+    nh_e = float(acc_e.n_hits)
+    nh_k = float(totals[FK.CNT_HITS])
+    assert abs(nh_e - nh_k) <= max(2.0, 0.01 * nh_e), (nh_e, nh_k)
+    assert nh_e > 20, "workload produced too few hits to be meaningful"
+    l1 = np.abs(he - hk).sum()
+    assert l1 <= tol * he.sum() + 1e-6, (l1, he.sum(), nh_e, nh_k)
+    # nothing dropped in these configurations
+    assert float(totals[FK.CNT_DROPPED]) == 0.0
+    assert float(totals[FK.CNT_QUEUED]) == nh_k
+
+
+@pytest.mark.parametrize("aniso,tilt", [(False, False), (True, True)])
+def test_kernel_matches_engine(aniso, tilt):
+    medium, geo, spectra, cfg, steps, uniforms = _workload(
+        aniso=aniso, tilt=tilt)
+    state_e, acc_e = _run_engine_with_uniforms(steps, medium, geo, spectra,
+                                               cfg, uniforms)
+    res_k, totals = _run_kernel(steps, medium, geo, spectra, cfg, uniforms)
+    _compare(acc_e, res_k, totals, geo, cfg)
+
+
+def test_kernel_deferred_flush_preserves_hits():
+    """flush_every > 1 gates respawn on pending registers; every recorded
+    hit must still land in the queue exactly once."""
+    medium, geo, spectra, cfg, steps, uniforms = _workload()
+    res, totals = _run_kernel(steps, medium, geo, spectra, cfg, uniforms,
+                              flush_every=4)
+    assert float(totals[FK.CNT_DROPPED]) == 0.0
+    assert float(totals[FK.CNT_QUEUED]) == float(totals[FK.CNT_HITS])
+    np.testing.assert_allclose(float(jnp.sum(res.hist)),
+                               float(totals[FK.CNT_WSUM]), rtol=1e-5)
+
+
+def test_fused_supported_gates():
+    medium, geo, spectra, cfg, steps, uniforms = _workload()
+    assert FK.fused_supported(medium, spectra, cfg) is None
+    bad = dataclasses.replace(cfg, estimator="expected")
+    assert FK.fused_supported(medium, spectra, bad) is not None
+    bad = dataclasses.replace(cfg, save_photons=True)
+    assert FK.fused_supported(medium, spectra, bad) is not None
+    water = medium._replace(medium_kind="water")
+    assert FK.fused_supported(water, spectra, cfg) is not None
