@@ -86,6 +86,13 @@ class SlotState(NamedTuple):
     start_dx: jnp.ndarray
     start_dy: jnp.ndarray
     start_dz: jnp.ndarray
+    # optional per-photon scatter history rings, each (N, H)
+    # (I3CLSimPhotonHistory / SAVE_PHOTON_HISTORY,
+    #  propagation_kernel.c.cl:452-455, 833-837)
+    hist_x: Optional[jnp.ndarray] = None
+    hist_y: Optional[jnp.ndarray] = None
+    hist_z: Optional[jnp.ndarray] = None
+    hist_abs: Optional[jnp.ndarray] = None
 
 
 class Accumulators(NamedTuple):
@@ -423,6 +430,13 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
     fresh = (~state.in_flight) & (state.photons_left > 0)
     if "nocreate" not in _ablate:
         state = _create_photons(state, steps, medium, spectra, cfg, u[:4], fresh)
+    if cfg.photon_history_entries > 0:
+        # a fresh photon starts with an empty scatter history
+        clr = lambda r: jnp.where(fresh[:, None], 0.0, r)
+        state = state._replace(hist_x=clr(state.hist_x),
+                               hist_y=clr(state.hist_y),
+                               hist_z=clr(state.hist_z),
+                               hist_abs=clr(state.hist_abs))
     state = state._replace(
         in_flight=state.in_flight | fresh,
         photons_left=state.photons_left - fresh.astype(state.photons_left.dtype))
@@ -556,7 +570,17 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
             dist_in_abs_lens=state.abs_lens_initial - state.abs_lens_left,
         )
         rec = {k: ring_write(v, slot_pos, vals[k], rec_mask)
-               for k, v in acc.rec.items()}
+               for k, v in acc.rec.items() if not k.startswith("hist_")}
+        if cfg.photon_history_entries > 0:
+            # copy the photon's scatter-history ring into the record ring
+            K_ = cfg.photon_capacity_per_slot
+            cols = jax.lax.broadcasted_iota(jnp.int32,
+                                            (slot_pos.shape[0], K_), 1)
+            sel = ((cols == slot_pos[:, None]) & rec_mask[:, None])[..., None]
+            for hk, hv in (("hist_x", state.hist_x), ("hist_y", state.hist_y),
+                           ("hist_z", state.hist_z),
+                           ("hist_abs", state.hist_abs)):
+                rec[hk] = jnp.where(sel, hv[:, None, :], acc.rec[hk])
         acc = acc._replace(
             rec=rec,
             rec_count=acc.rec_count + rec_mask.astype(acc.rec_count.dtype))
@@ -592,6 +616,18 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
     sdx, sdy, sdz = scatter_direction_by_angle(cos_s, sin_s, pdx, pdy, pdz, u[7])
     sdx, sdy, sdz = post_scatter_transform(medium.anisotropy, sdx, sdy, sdz)
 
+    if cfg.photon_history_entries > 0:
+        # ring-append the scatter point + current depth in absorption lengths
+        # (propagation_kernel.c.cl:833-837)
+        H = cfg.photon_history_entries
+        hpos = state.num_scatters % H
+        depth = state.abs_lens_initial - state.abs_lens_left
+        state = state._replace(
+            hist_x=ring_write(state.hist_x, hpos, state.x, do_scatter),
+            hist_y=ring_write(state.hist_y, hpos, state.y, do_scatter),
+            hist_z=ring_write(state.hist_z, hpos, state.z, do_scatter),
+            hist_abs=ring_write(state.hist_abs, hpos, depth, do_scatter))
+
     state = state._replace(
         dx=jnp.where(do_scatter, sdx, state.dx),
         dy=jnp.where(do_scatter, sdy, state.dy),
@@ -612,10 +648,12 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
 # driver
 # ---------------------------------------------------------------------------
 
-def _init_state(steps: StepBatch) -> SlotState:
+def _init_state(steps: StepBatch, history_entries: int = 0) -> SlotState:
     n = steps.x.shape[0]
     zf = jnp.zeros(n, jnp.float32)
     zi = jnp.zeros(n, jnp.int32)
+    zh = (jnp.zeros((n, history_entries), jnp.float32)
+          if history_entries > 0 else None)
     return SlotState(
         photons_left=steps.num_photons.astype(jnp.int32),
         in_flight=jnp.zeros(n, bool),
@@ -625,7 +663,8 @@ def _init_state(steps: StepBatch) -> SlotState:
         abs_lens_left=zf, abs_lens_initial=zf,
         num_scatters=zi, total_path=zf,
         start_x=zf, start_y=zf, start_z=zf, start_t=zf,
-        start_dx=zf, start_dy=zf, start_dz=jnp.ones(n, jnp.float32))
+        start_dx=zf, start_dy=zf, start_dz=jnp.ones(n, jnp.float32),
+        hist_x=zh, hist_y=zh, hist_z=zh, hist_abs=zh)
 
 
 def _init_acc(n_slots: int, n_doms: int, cfg: PropagationConfig) -> Accumulators:
@@ -639,6 +678,10 @@ def _init_acc(n_slots: int, n_doms: int, cfg: PropagationConfig) -> Accumulators
                   "start_time", "start_theta", "start_phi", "group_velocity",
                   "dist_in_abs_lens"]
         rec = {f: jnp.zeros(shape, jnp.float32) for f in fields}
+        if cfg.photon_history_entries > 0:
+            hshape = shape + (cfg.photon_history_entries,)
+            for f in ("hist_x", "hist_y", "hist_z", "hist_abs"):
+                rec[f] = jnp.zeros(hshape, jnp.float32)
         rec_count = jnp.zeros(n_slots, jnp.int32)
     return Accumulators(
         hist=jnp.zeros(n_doms * cfg.hist_n_bins, jnp.float32),
@@ -660,7 +703,7 @@ def propagate(steps: StepBatch, medium: MediumProperties,
     runs until every slot is drained (forward-only); a positive value runs a
     reverse-differentiable bounded loop instead.
     """
-    state = _init_state(steps)
+    state = _init_state(steps, cfg.photon_history_entries)
     acc = _init_acc(steps.x.shape[0], geo.n_doms, cfg)
 
     def body(carry):

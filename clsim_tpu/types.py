@@ -120,6 +120,10 @@ class PropagationConfig:
                                     # its absorption point (no detector test)
     save_all_prescale: float = 1.0  # SAVE_ALL_PHOTONS_PRESCALE
     photon_capacity_per_slot: int = 8  # record ring size when save_photons
+    photon_history_entries: int = 0 # SAVE_PHOTON_HISTORY: keep the last N
+                                    # scatter positions + abs-length depths
+                                    # per recorded photon (I3CLSimPhotonHistory;
+                                    # kernel ring propagation_kernel.c.cl:452-455)
     pancake_factor: float = 1.0     # PANCAKE_FACTOR (DOM oversize flattening)
     dom_oversize: float = 1.0       # collision radius = R * oversize
     max_segment_m: float = 90.0     # segment cap; bounds the per-iteration

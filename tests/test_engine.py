@@ -345,3 +345,54 @@ class TestSaveAllPhotons:
                         jnp.asarray([0, 13], jnp.uint32), cfg)
         frac = np.asarray(res.rec_count).sum() / float(res.n_generated)
         assert frac == pytest.approx(0.25, abs=0.05)
+
+
+class TestPhotonHistory:
+    def test_scatter_history_rings(self):
+        """SAVE_PHOTON_HISTORY: each recorded photon carries the last-H
+        scatter positions + absorption-length depths in a ring
+        (I3CLSimPhotonHistory; propagation_kernel.c.cl:452-455, 833-837)."""
+        H = 4
+        medium = make_homogeneous_ice(b400=0.08, a_dust400=0.03)
+        geo = _one_dom_geometry(x=5000.0)
+        spectra = _spectra()
+        cfg = PropagationConfig(n_slots=64, save_photons=True,
+                                save_all_photons=True, stop_on_detection=False,
+                                photon_capacity_per_slot=32,
+                                photon_history_entries=H)
+        steps = _beam_steps(cfg.n_slots, 8,
+                            pos=(100.0, 100.0, 100.0), source_type=0)
+        res = propagate(steps, medium, geo, spectra,
+                        jnp.asarray([0, 14], jnp.uint32), cfg)
+        counts = np.asarray(res.rec_count)
+        assert counts.sum() == float(res.n_generated)
+        for f in ("hist_x", "hist_y", "hist_z", "hist_abs"):
+            assert res.rec[f].shape == (cfg.n_slots,
+                                        cfg.photon_capacity_per_slot, H)
+        ns = np.asarray(res.rec["num_scatters"]).astype(int)
+        habs = np.asarray(res.rec["hist_abs"])
+        hx = np.asarray(res.rec["hist_x"])
+        depth = np.asarray(res.rec["dist_in_abs_lens"])
+        recorded = (np.arange(cfg.photon_capacity_per_slot)[None, :]
+                    < counts[:, None])
+        assert ns[recorded].max() >= 1  # this medium scatters
+
+        filled = np.minimum(ns, H)
+        idx = np.arange(H)[None, None, :]
+        used = recorded[:, :, None] & (idx < filled[:, :, None])
+        unused = recorded[:, :, None] & (idx >= filled[:, :, None])
+        # unused ring entries stay zeroed (fresh photons clear the ring)
+        assert np.all(habs[unused] == 0.0)
+        assert np.all(hx[unused] == 0.0)
+        # scatter depths are positive and bounded by the final depth;
+        # positions are near the emission region, not at the origin
+        assert np.all(habs[used] > 0.0)
+        cap = np.broadcast_to(depth[:, :, None] + 1e-4, habs.shape)
+        assert np.all(habs[used] <= cap[used])
+        assert np.all(np.abs(hx[used]) > 1.0)
+        # within-ring depths are non-decreasing in append order (ns <= H case)
+        short = recorded & (ns >= 2) & (ns <= H)
+        si, sj = np.nonzero(short)
+        for i, j in zip(si[:64], sj[:64]):
+            seq = habs[i, j, :ns[i, j]]
+            assert np.all(np.diff(seq) >= 0.0)
