@@ -83,20 +83,21 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from clsim_tpu.propagate.engine import propagate
+    from clsim_tpu.propagate.dispatch import propagate_auto
     from clsim_tpu.types import StepBatch
 
     on_cpu = jax.devices()[0].platform == "cpu"
     n_slots = int(os.environ.get("BENCH_SLOTS", 2048 if on_cpu else 262144))
     photons_per_slot = int(os.environ.get("BENCH_PHOTONS_PER_SLOT",
                                           8 if on_cpu else 50))
+    backend = os.environ.get("BENCH_BACKEND", "auto")
 
     medium, geo, spectra, cfg, steps = build_workload(n_slots, photons_per_slot)
     steps = StepBatch(*[jnp.asarray(f) for f in steps])
 
     def run(seed):
-        res = propagate(steps, medium, geo, spectra,
-                        jnp.asarray([0, seed], jnp.uint32), cfg)
+        res = propagate_auto(steps, medium, geo, spectra, int(seed), cfg,
+                             backend=backend, max_calls=512)
         # note: block_until_ready is unreliable on the axon TPU relay --
         # force a host transfer to synchronize
         return float(res.n_generated), float(jnp.sum(res.hist))

@@ -30,6 +30,7 @@ from .hits.mcpe import MCPEBatch, mcpes_to_numpy, sample_mcpes
 from .medium.properties import MediumProperties
 from .ops.spectrum import (WavelengthSpectrum, make_cherenkov_spectrum,
                            make_tabulated_spectrum, stack_spectra)
+from .propagate.dispatch import propagate_auto
 from .propagate.engine import PropagationResult, propagate
 from .sources.particles import FlasherPulse, Particle
 from .sources.flasher import FlasherStepGenerator, get_flasher_spectrum
@@ -50,9 +51,11 @@ class Simulation:
                  photons_per_step: int = 200,
                  use_cascade_extension: bool = True,
                  flasher_spectra: Sequence[WavelengthSpectrum] = (),
-                 mesh=None):
+                 mesh=None,
+                 backend: str = "auto"):
         self.medium = medium
         self.geometry = geometry
+        self.backend = backend
         cfg = config or PropagationConfig()
         if cfg.pancake_factor == 1.0 and geometry.oversize != 1.0:
             cfg = dataclasses.replace(cfg, pancake_factor=geometry.oversize)
@@ -130,8 +133,9 @@ class Simulation:
                 res = self._propagate(batch, self.medium, self.geometry,
                                       self.spectra, bkey)
             else:
-                res = propagate(batch, self.medium, self.geometry,
-                                self.spectra, bkey, self.config)
+                res = propagate_auto(batch, self.medium, self.geometry,
+                                     self.spectra, bkey, self.config,
+                                     backend=self.backend)
             if total is None:
                 total = res
             else:
