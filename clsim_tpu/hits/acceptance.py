@@ -80,6 +80,86 @@ def load_angular_sensitivity(path: str):
     return float(vals[0]), jnp.asarray(vals[1:], jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# Gen2 sensors (python/Gen2Sensors.py -- D-Egg and WOM prototypes; the
+# reference marks these numbers deprecated-but-shipped, we match them as-is)
+# ---------------------------------------------------------------------------
+
+# Combined D-Egg glass (10mm) + high-UV gel (5mm) + Hamamatsu R5912-100
+# center-of-photocathode efficiency, 250nm..670nm in 10nm bins
+# (Gen2Sensors.py:19-63, pers. comm. Lu Lu 2016).
+DEGG_CENTER_EFFICIENCY = np.array([
+    0.0, 0.0, 0.0, 0.0005, 0.0093, 0.058, 0.1473, 0.2358, 0.2904, 0.3139,
+    0.3237, 0.3336, 0.339, 0.3373, 0.3292, 0.3195, 0.3087, 0.3017, 0.2873,
+    0.2717, 0.2532, 0.2305, 0.2119, 0.1962, 0.1832, 0.1708, 0.1523, 0.1227,
+    0.0928, 0.0728, 0.0597, 0.0494, 0.0404, 0.0318, 0.0241, 0.0174, 0.0118,
+    0.0076, 0.0047, 0.0027, 0.0, 0.0, 0.0])
+
+# WOM wavelength-shifting-paint capture efficiency, 245nm.. in 10nm bins
+# (Gen2Sensors.py:94-148, pers. comm. D. Hebecker 2016).
+WOM_CAPTURE_EFFICIENCY = np.array([
+    0.0, 0.34587, 0.45655, 0.48452, 0.46706, 0.47998, 0.48761, 0.48948,
+    0.49017, 0.4905, 0.49127, 0.49325, 0.4966, 0.49651, 0.4857, 0.40011,
+    0.15273, 0.00779] + [0.0] * 27)
+WOM_RECAPTURE_EFFICIENCY = 0.2403   # KM3NeT PMT QE x shifter emission
+
+
+def degg_acceptance(active_fraction: float = 1.0) -> TableParams:
+    """D-Egg wavelength acceptance (Gen2Sensors.py GetDEggAcceptance):
+    center efficiency x 0.9 x (190mm photocathode / 300mm housing)^2."""
+    scale = active_fraction * 0.9 * (190.0 / 300.0) ** 2
+    return TableParams(
+        first_x=jnp.asarray(250.0, jnp.float32),
+        dx=jnp.asarray(10.0, jnp.float32),
+        values=jnp.asarray(scale * DEGG_CENTER_EFFICIENCY, jnp.float32))
+
+
+def degg_angular_sensitivity(pmt: str = "both",
+                             coefficients=None) -> jnp.ndarray:
+    """D-Egg angular sensitivity (Gen2Sensors.py:71-91): the IceCube hole-ice
+    polynomial for the down-facing PMT, mirrored in cos(eta) (odd coefficients
+    negated) for the up-facing PMT, or the sum for both."""
+    down = np.asarray(coefficients if coefficients is not None
+                      else HOLE_ICE_H2_50CM["coefficients"], np.float64)
+    up = down * np.where(np.arange(down.size) % 2 == 1, -1.0, 1.0)
+    pmt = pmt.lower()
+    if pmt == "down":
+        out = down
+    elif pmt == "up":
+        out = up
+    elif pmt == "both":
+        out = down + up
+    else:
+        raise ValueError(f"unknown PMT orientation {pmt!r}")
+    return jnp.asarray(out, jnp.float32)
+
+
+def wom_acceptance(active_fraction: float = 1.0) -> TableParams:
+    """WOM wavelength acceptance (Gen2Sensors.py GetWOMAcceptance)."""
+    scale = active_fraction * WOM_RECAPTURE_EFFICIENCY
+    return TableParams(
+        first_x=jnp.asarray(245.0, jnp.float32),
+        dx=jnp.asarray(10.0, jnp.float32),
+        values=jnp.asarray(scale * WOM_CAPTURE_EFFICIENCY, jnp.float32))
+
+
+# Ice->quartz transmission averaged over the tube cross-section, x sin(eta)
+# projected area; valid only for |cos eta| <= 1/1.33, zero outside
+# (Gen2Sensors.py:152-170).
+WOM_ANGULAR_COEFFICIENTS = np.array([
+    0.70161228651625462, 0.0, -0.78196095712541591, 0.0,
+    1.9327345553744812, 0.0, -14.801481314906798, 0.0,
+    37.180692649664785, 0.0, -34.627444106282297])
+WOM_ANGULAR_COS_LIMIT = 1.0 / 1.33
+
+
+def wom_angular_sensitivity():
+    """(coefficients, cos_limit): evaluate the polynomial where
+    |cos eta| <= cos_limit, zero outside (total internal reflection)."""
+    return (jnp.asarray(WOM_ANGULAR_COEFFICIENTS, jnp.float32),
+            WOM_ANGULAR_COS_LIMIT)
+
+
 def cos_cherenkov_angular_sensitivity() -> jnp.ndarray:
     """The 'nominal' no-hole-ice sensitivity: 0.34 + 0.35*cos + ... -- for
     users without a hole-ice file, the simple linear ramp (1+cos)/2 scaled to

@@ -111,6 +111,8 @@ class FusedSpec(NamedTuple):
     splits: int            # bf16 summands per table fetch (2 = ~2^-16 rel)
     external_uniforms: bool
     interpret: bool
+    ablate: str = ""       # comma-joined stage names to skip (perf probes
+                           # only; "" in production)
 
 
 def _split_bf16(tab, n):
@@ -202,6 +204,7 @@ def _make_kernel(spec: FusedSpec):
     NBINS = spec.hist_n_bins
     QCAP = spec.queue_rows * LANES
     FMAX = spec.flush_rows * LANES
+    ablate = frozenset(t for t in spec.ablate.split(",") if t)
 
     def kernel(*refs):
         if spec.external_uniforms:
@@ -355,6 +358,8 @@ def _make_kernel(spec: FusedSpec):
 
             if spec.external_uniforms:
                 uu = uni_ref[pl.ds(i * 8 * RB, 8 * RB), :]
+            elif "norng" in ablate:
+                uu = jnp.full((8 * RB, LANES), 0.5, jnp.float32)
             else:
                 bits = pltpu.prng_random_bits((8 * RB, LANES))
                 bits = pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(8)
@@ -370,7 +375,10 @@ def _make_kernel(spec: FusedSpec):
             pz = stp["z"] + stp["dir_z"] * shift
             pt = stp["t"] + shift / (C_LIGHT * stp["beta"])
 
-            new_wlen = tile(sample_wavelength(flat(u[1])))
+            if "nospawn" in ablate:
+                new_wlen = jnp.full_like(x, 400.0)
+            else:
+                new_wlen = tile(sample_wavelength(flat(u[1])))
             wl_um = new_wlen * 1e-3
             n_phase = poly4(nco, wl_um)
             n_group = n_phase * poly4(gco, wl_um)
@@ -413,7 +421,8 @@ def _make_kernel(spec: FusedSpec):
             abs_budget = abs_left * abs_corr
 
             # ---------- tilt + layer walk (kernel:598-696) -----------------
-            shift_z = tilt_shift(x, y, z)
+            shift_z = (jnp.zeros_like(z) if "notilt" in ablate
+                       else tilt_shift(x, y, z))
             z_eff = z - shift_z
             hL = pf(PF_LAYER_H)
             j0f = jnp.floor((z_eff - pf(PF_Z_START)) / hL)
@@ -478,6 +487,12 @@ def _make_kernel(spec: FusedSpec):
             d_scat = jnp.where(done, d_scat, t_done + tau_s / inv_s_last)
             d_abs = jnp.where(done, d_abs, t_done + tau_a / inv_a_last)
             inv_a_fin = jnp.where(done, inv_a_fin, inv_a_last)
+            if "nowalk" in ablate:   # static: the walk above becomes dead code
+                d_scat = sca_budget * 25.0
+                d_abs = abs_budget * 25.0
+                t_done = jnp.zeros_like(x)
+                tau_a = abs_budget
+                inv_a_fin = jnp.full_like(x, 1.0 / 25.0)
 
             absorbed = d_abs < d_scat
             d_prop = jnp.minimum(jnp.minimum(d_scat, d_abs), max_seg)
@@ -525,7 +540,12 @@ def _make_kernel(spec: FusedSpec):
             hit_f = jnp.zeros((1, BLK), bool)
             dist_f = fdp
             dom_f = jnp.zeros((1, BLK), jnp.float32)
-            for _k in range(2):
+            n_string_rounds = (0 if ("nosphere" in ablate or
+                                     "nocull" in ablate) else 2)
+            if "nosphere" in ablate and "nocull" not in ablate:
+                # keep the cull live (data-dep on ranked), skip the DOM test
+                hit_f = jnp.min(ranked, axis=0, keepdims=True) < -1.0
+            for _k in range(n_string_rounds):
                 mi, sidx = _min_and_idx(ranked, iota_S)
                 s_ok = mi < BIG
                 mask = (iota_S == sidx)
@@ -565,6 +585,10 @@ def _make_kernel(spec: FusedSpec):
             hit = tile(hit_f.astype(jnp.float32)) > 0.5
             hit_dist = tile(dist_f)
             hit_dom = tile(dom_f)
+            if "nocull" in ablate:   # static: collision becomes dead code
+                hit = jnp.zeros_like(x, bool)
+                hit_dist = d_prop
+                hit_dom = jnp.zeros_like(x)
             hit_act = hit & active
 
             # stop-on-detection (detect estimator; engine.py:463-470)
@@ -574,7 +598,8 @@ def _make_kernel(spec: FusedSpec):
             abs_left_corr = jnp.where(hit_act, 0.0, abs_left_corr)
 
             # ---------- record (saveHit weight contract, kernel:370) -------
-            bias = wavelength_bias(wlen)
+            bias = (jnp.ones_like(wlen) if "nobias" in ablate
+                    else wavelength_bias(wlen))
             w_hit = jnp.where(hit_act,
                               stp["weight"] / jnp.maximum(bias, 1e-20), 0.0)
             t_hit = t + inv_gv * hit_dist
@@ -627,6 +652,8 @@ def _make_kernel(spec: FusedSpec):
                 oyp = sa * n1_ + ca * n2_
                 inv_n = 1.0 / jnp.sqrt(oxp * oxp + oyp * oyp + n3_ * n3_)
                 sdx2, sdy2, sdz2 = oxp * inv_n, oyp * inv_n, n3_ * inv_n
+            if "noscatter" in ablate:  # static: scatter math above is dead
+                sdx2, sdy2, sdz2 = dy, dz, dx
             dx = jnp.where(do_scatter, sdx2, dx)
             dy = jnp.where(do_scatter, sdy2, dy)
             dz = jnp.where(do_scatter, sdz2, dz)
@@ -645,8 +672,13 @@ def _make_kernel(spec: FusedSpec):
             def inner(ii, c):
                 return body(oi * spec.flush_every + ii, c)
             carry = jax.lax.fori_loop(0, spec.flush_every, inner, carry)
-            pend_idx, pend_w, head, n_dropped = flush(
-                carry[NSF - 2], carry[NSF - 1], carry[NSF], carry[NSF + 4])
+            if "noflush" in ablate:
+                zero_ = jnp.zeros_like(carry[NSF - 1])
+                pend_idx, pend_w, head, n_dropped = (
+                    zero_, zero_, carry[NSF], carry[NSF + 4])
+            else:
+                pend_idx, pend_w, head, n_dropped = flush(
+                    carry[NSF - 2], carry[NSF - 1], carry[NSF], carry[NSF + 4])
             return carry[:NSF - 2] + (pend_idx, pend_w, head) \
                 + carry[NSF + 1:NSF + 4] + (n_dropped,)
 
@@ -716,8 +748,8 @@ def fused_supported(medium: MediumProperties, spectra: SpectrumTable,
 
 def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
                 n_slots, iters_per_call, flush_every, queue_rows,
-                block_lanes, splits, external_uniforms, interpret
-                ) -> FusedSpec:
+                block_lanes, splits, external_uniforms, interpret,
+                ablate="") -> FusedSpec:
     S, M, _ = geo.string_dom_rel.shape
     K = cfg.max_layer_steps
     tilt_enabled = medium.tilt.enabled
@@ -744,6 +776,7 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         splits=splits,
         external_uniforms=external_uniforms,
         interpret=interpret,
+        ablate=ablate,
     )
 
 
@@ -996,7 +1029,8 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
                     max_calls: int = 256,
                     scatter_cap: int = 8192,
                     uniforms=None,
-                    interpret: bool = False) -> PropagationResult:
+                    interpret: bool = False,
+                    ablate: str = "") -> PropagationResult:
     """Drive the fused kernel until all photons are drained.
 
     `uniforms`: optional (T_total >= iters_per_call*max_calls, 8, n_slots)
@@ -1022,7 +1056,7 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
                          "uniform stream")
     spec = _build_spec(medium, geo, spectra, cfg, n, iters_per_call,
                        flush_every, queue_rows, block_lanes, splits,
-                       uniforms is not None, interpret)
+                       uniforms is not None, interpret, ablate)
     if uniforms is not None:
         uniforms = _layout_uniforms(uniforms, spec)
     res, totals = _run_fused(steps, medium, geo, spectra, int(seed), cfg,

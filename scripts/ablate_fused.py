@@ -1,0 +1,64 @@
+"""Per-stage cost ablation of the fused Pallas kernel on the real TPU.
+
+Runs a FIXED number of iterations (max_calls=1, iters_per_call=T) so timings
+are comparable regardless of how ablations change the physics.  Each ablation
+statically removes one stage (dead-code eliminated by Mosaic), so
+base_time - ablated_time ~= the stage's cost.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+
+from bench import build_workload
+from clsim_tpu.propagate.kernel import CNT_GEN, propagate_fused
+
+ABLATIONS = ["", "norng", "nospawn", "notilt", "nowalk", "nocull",
+             "nosphere", "noscatter", "nobias", "noflush",
+             "nocull,notilt,nowalk,nospawn"]
+
+
+def sync(x):
+    return float(jnp.sum(jnp.asarray(x, jnp.float32)))
+
+
+def main():
+    n_slots = int(os.environ.get("BENCH_SLOTS", 65536))
+    photons = int(os.environ.get("BENCH_PHOTONS_PER_SLOT", 60))
+    T = int(os.environ.get("BENCH_IPC", 64))
+    blk = int(os.environ.get("BENCH_BLK", 2048))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+
+    medium, geo, spectra, cfg, steps = build_workload(n_slots, photons)
+    steps = type(steps)(*[jnp.asarray(f) for f in steps])
+
+    def run(ablate, seed):
+        res, totals = propagate_fused(
+            steps, medium, geo, spectra, seed=seed, cfg=cfg,
+            iters_per_call=T, flush_every=8, queue_rows=32,
+            block_lanes=blk, max_calls=1, ablate=ablate)
+        return totals
+
+    base = None
+    for ab in ABLATIONS:
+        sync(run(ab, 1)[CNT_GEN])   # compile + warm
+        t0 = time.perf_counter()
+        for r in range(reps):
+            sync(run(ab, 2 + r)[CNT_GEN])
+        dt = (time.perf_counter() - t0) / reps
+        us_per_iter = dt / T * 1e6 * (65536 / n_slots)
+        if ab == "":
+            base = us_per_iter
+            print(f"{'base':<28} {us_per_iter:8.1f} us/iter", flush=True)
+        else:
+            print(f"{ab:<28} {us_per_iter:8.1f} us/iter   "
+                  f"stage ~{base - us_per_iter:6.1f} us", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -107,3 +107,52 @@ def test_multi_pmt_sampling_shapes():
         dom_angular_sensitivity())
     assert accept.shape == (n_slots * cap,)
     assert int(accept.sum()) <= 3
+
+
+class TestGen2Sensors:
+    """Gen2 D-Egg / WOM sensor curves (Gen2Sensors.py parity)."""
+
+    def test_degg_acceptance_values(self):
+        from clsim_tpu.hits.acceptance import (DEGG_CENTER_EFFICIENCY,
+                                               degg_acceptance)
+        acc = degg_acceptance()
+        v = np.asarray(acc.values)
+        scale = 0.9 * (190.0 / 300.0) ** 2
+        # peak bin: 0.339 at 370nm, scaled by the photocathode area fraction
+        np.testing.assert_allclose(v.max(), 0.339 * scale, rtol=1e-6)
+        assert float(acc.first_x) == 250.0 and float(acc.dx) == 10.0
+        assert v.shape == DEGG_CENTER_EFFICIENCY.shape
+
+    def test_degg_angular_mirror(self):
+        from clsim_tpu.hits.acceptance import degg_angular_sensitivity
+        from clsim_tpu.medium.functions import eval_polynomial
+        down = degg_angular_sensitivity("down")
+        up = degg_angular_sensitivity("up")
+        both = degg_angular_sensitivity("both")
+        c = np.linspace(-1, 1, 21)
+        pd = np.asarray(eval_polynomial(down, jnp.asarray(c)))
+        pu = np.asarray(eval_polynomial(up, jnp.asarray(c)))
+        pb = np.asarray(eval_polynomial(both, jnp.asarray(c)))
+        # up is the mirror of down: up(c) == down(-c); both = sum
+        np.testing.assert_allclose(pu, pd[::-1], atol=1e-5)
+        np.testing.assert_allclose(pb, pd + pu, atol=1e-5)
+        with pytest.raises(ValueError):
+            degg_angular_sensitivity("sideways")
+
+    def test_wom_curves(self):
+        from clsim_tpu.hits.acceptance import (wom_acceptance,
+                                               wom_angular_sensitivity,
+                                               WOM_RECAPTURE_EFFICIENCY)
+        acc = wom_acceptance(active_fraction=0.5)
+        v = np.asarray(acc.values)
+        np.testing.assert_allclose(
+            v[1], 0.34587 * WOM_RECAPTURE_EFFICIENCY * 0.5, rtol=1e-6)
+        coeffs, lim = wom_angular_sensitivity()
+        from clsim_tpu.medium.functions import eval_polynomial
+        assert lim == pytest.approx(1 / 1.33)
+        # symmetric (even polynomial), positive inside the TIR cone
+        p = np.asarray(eval_polynomial(
+            coeffs, jnp.asarray([0.0, 0.3, -0.3, 0.7, -0.7])))
+        np.testing.assert_allclose(p[1], p[2], rtol=1e-5)
+        np.testing.assert_allclose(p[3], p[4], rtol=1e-5)
+        assert np.all(p > 0)
