@@ -113,6 +113,12 @@ class FusedSpec(NamedTuple):
     interpret: bool
     ablate: str = ""       # comma-joined stage names to skip (perf probes
                            # only; "" in production)
+    affine_doms: bool = False  # DOMs sit exactly on vertical strings at
+                               # z0 + m*dz: use the analytic candidate-index
+                               # sphere test (the TPU form of the reference's
+                               # z-layer windowing, sparse_collision_kernel
+                               # .c.cl:27-192) instead of all-DOM rows
+    n_dom_cand: int = 8        # candidate DOMs per (segment, string)
 
 
 def _split_bf16(tab, n):
@@ -537,54 +543,108 @@ def _make_kernel(spec: FusedSpec):
             cand = pass_r & pass_z & fact
             ranked = jnp.where(cand, dist2, BIG)
 
-            hit_f = jnp.zeros((1, BLK), bool)
-            dist_f = fdp
-            dom_f = jnp.zeros((1, BLK), jnp.float32)
             n_string_rounds = (0 if ("nosphere" in ablate or
                                      "nocull" in ablate) else 2)
+            inv_pancake = 1.0 / pancake
+            if spec.affine_doms:
+                # ---- analytic candidate-DOM test (z-layer windowing): every
+                # DOM sits exactly at z0 + m*dz on a vertical string, so the
+                # <= n_dom_cand indices overlapping the segment's z-span are
+                # computed per lane -- no (Mpad, BLK) arrays at all (the TPU
+                # form of sparse_collision_kernel.c.cl:27-192's
+                # geoLayerToOMNumIndex window).
+                hit_t = jnp.zeros_like(x, bool)
+                dist_t = d_prop
+                dom_t = jnp.zeros_like(x)
+                margin = Rcol + 1.0
+                for _k in range(n_string_rounds):
+                    mi, sidx = _min_and_idx(ranked, iota_S)
+                    mask = (iota_S == sidx)
+                    ranked = jnp.where(mask, BIG, ranked)
+                    rel = _fetch(rel_splits, mask.astype(jnp.bfloat16))
+                    r3 = rel.reshape(rel.shape[0], RB, LANES)
+                    fxs, fys, fz0, fdzf, foff, fnd = (
+                        r3[0], r3[1], r3[2], r3[3], r3[4], r3[5])
+                    s_ok = tile(jnp.where(mi < BIG, 1.0, 0.0)) > 0.5
+                    oxs = fxs - x
+                    oys = fys - y
+                    A2 = oxs * oxs + oys * oys
+                    Bd = oxs * dx + oys * dy
+                    # segment endpoints in DOM-index space (dz sign-agnostic)
+                    inv_dzf = 1.0 / fdzf
+                    m1 = (z - fz0) * inv_dzf
+                    m2 = m1 + dz * d_prop * inv_dzf
+                    mlo = jnp.floor(jnp.minimum(m1, m2)
+                                    - margin * jnp.abs(inv_dzf))
+                    nd1 = fnd - 1.0
+                    best = jnp.full_like(x, BIG)
+                    domb = jnp.zeros_like(x)
+                    for c in range(spec.n_dom_cand):
+                        m = jnp.clip(mlo + float(c), 0.0, nd1)
+                        oz = fz0 + fdzf * m - z
+                        urdot = Bd + oz * dz
+                        dr2 = A2 + oz * oz
+                        discr = urdot * urdot - dr2 + R2
+                        sq = jnp.sqrt(jnp.maximum(discr, 0.0)) * inv_pancake
+                        smin1 = urdot - sq
+                        good = s_ok & (discr >= 0.0) & (urdot + sq >= 0.0) \
+                            & (smin1 >= 0.0) & (smin1 < dist_t) \
+                            & (smin1 < best)
+                        best = jnp.where(good, smin1, best)
+                        domb = jnp.where(good, foff + m, domb)
+                    found = best < BIG
+                    hit_t = hit_t | found
+                    dom_t = jnp.where(found, domb, dom_t)
+                    dist_t = jnp.where(found, best, dist_t)
+                hit, hit_dist, hit_dom = hit_t, dist_t, dom_t
+            else:
+                hit_f = jnp.zeros((1, BLK), bool)
+                dist_f = fdp
+                dom_f = jnp.zeros((1, BLK), jnp.float32)
+                for _k in range(n_string_rounds):
+                    mi, sidx = _min_and_idx(ranked, iota_S)
+                    s_ok = mi < BIG
+                    mask = (iota_S == sidx)
+                    ranked = jnp.where(mask, BIG, ranked)
+                    rel = _fetch(rel_splits, mask.astype(jnp.bfloat16))
+                    # rows: dxr(Mp) dyr(Mp) dzr(Mp) valid(Mp) then 8 features
+                    fxs = rel[4 * Mpad + 0:4 * Mpad + 1]
+                    fys = rel[4 * Mpad + 1:4 * Mpad + 2]
+                    fz0 = rel[4 * Mpad + 2:4 * Mpad + 3]
+                    fdzf = rel[4 * Mpad + 3:4 * Mpad + 4]
+                    foff = rel[4 * Mpad + 4:4 * Mpad + 5]
+                    dom_xx = fxs + rel[0:Mpad]
+                    dom_yy = fys + rel[Mpad:2 * Mpad]
+                    dom_zz = fz0 + fdzf * iota_M + rel[2 * Mpad:3 * Mpad]
+                    valid = (rel[3 * Mpad:4 * Mpad] > 0.5) & s_ok
+                    slot_dom = foff + iota_M
+                    ox = dom_xx - fx_
+                    oy = dom_yy - fy_
+                    oz = dom_zz - fz_
+                    dr2 = ox * ox + oy * oy + oz * oz
+                    urdot = ox * fdx + oy * fdy + oz * fdz
+                    discr = urdot * urdot - dr2 + R2
+                    sq = jnp.sqrt(jnp.maximum(discr, 0.0)) * inv_pancake
+                    smin1 = urdot - sq
+                    smin2 = urdot + sq
+                    good = valid & (discr >= 0.0) & (smin2 >= 0.0) \
+                        & (smin1 >= 0.0) & (smin1 < dist_f)
+                    sm = jnp.where(good, smin1, BIG)
+                    best = jnp.min(sm, axis=0, keepdims=True)
+                    domb = jnp.max(jnp.where(sm == best, slot_dom, -1.0),
+                                   axis=0, keepdims=True)
+                    found = best < BIG
+                    hit_f = hit_f | found
+                    dom_f = jnp.where(found, domb, dom_f)
+                    dist_f = jnp.where(found, best, dist_f)
+                hit = tile(hit_f.astype(jnp.float32)) > 0.5
+                hit_dist = tile(dist_f)
+                hit_dom = tile(dom_f)
             if "nosphere" in ablate and "nocull" not in ablate:
                 # keep the cull live (data-dep on ranked), skip the DOM test
-                hit_f = jnp.min(ranked, axis=0, keepdims=True) < -1.0
-            for _k in range(n_string_rounds):
-                mi, sidx = _min_and_idx(ranked, iota_S)
-                s_ok = mi < BIG
-                mask = (iota_S == sidx)
-                ranked = jnp.where(mask, BIG, ranked)
-                rel = _fetch(rel_splits, mask.astype(jnp.bfloat16))
-                # rows: dxr(Mp) dyr(Mp) dzr(Mp) valid(Mp) then 8 features
-                fxs = rel[4 * Mpad + 0:4 * Mpad + 1]
-                fys = rel[4 * Mpad + 1:4 * Mpad + 2]
-                fz0 = rel[4 * Mpad + 2:4 * Mpad + 3]
-                fdzf = rel[4 * Mpad + 3:4 * Mpad + 4]
-                foff = rel[4 * Mpad + 4:4 * Mpad + 5]
-                dom_xx = fxs + rel[0:Mpad]
-                dom_yy = fys + rel[Mpad:2 * Mpad]
-                dom_zz = fz0 + fdzf * iota_M + rel[2 * Mpad:3 * Mpad]
-                valid = (rel[3 * Mpad:4 * Mpad] > 0.5) & s_ok
-                slot_dom = foff + iota_M
-                ox = dom_xx - fx_
-                oy = dom_yy - fy_
-                oz = dom_zz - fz_
-                dr2 = ox * ox + oy * oy + oz * oz
-                urdot = ox * fdx + oy * fdy + oz * fdz
-                discr = urdot * urdot - dr2 + R2
-                sq = jnp.sqrt(jnp.maximum(discr, 0.0)) / pancake
-                smin1 = urdot - sq
-                smin2 = urdot + sq
-                good = valid & (discr >= 0.0) & (smin2 >= 0.0) \
-                    & (smin1 >= 0.0) & (smin1 < dist_f)
-                sm = jnp.where(good, smin1, BIG)
-                best = jnp.min(sm, axis=0, keepdims=True)
-                domb = jnp.max(jnp.where(sm == best, slot_dom, -1.0),
-                               axis=0, keepdims=True)
-                found = best < BIG
-                hit_f = hit_f | found
-                dom_f = jnp.where(found, domb, dom_f)
-                dist_f = jnp.where(found, best, dist_f)
-
-            hit = tile(hit_f.astype(jnp.float32)) > 0.5
-            hit_dist = tile(dist_f)
-            hit_dom = tile(dom_f)
+                hit = tile(jnp.min(ranked, axis=0, keepdims=True)) < -BIG
+                hit_dist = d_prop
+                hit_dom = jnp.zeros_like(x)
             if "nocull" in ablate:   # static: collision becomes dead code
                 hit = jnp.zeros_like(x, bool)
                 hit_dist = d_prop
@@ -746,6 +806,36 @@ def fused_supported(medium: MediumProperties, spectra: SpectrumTable,
     return None
 
 
+def _affine_collision_plan(geo: DetectorGeometry, cfg: PropagationConfig,
+                           ablate: str = ""):
+    """(affine_ok, n_candidates): whether every DOM sits exactly at
+    z0 + m*dz on its (vertical) string, and how many candidate indices the
+    max segment length can overlap.  Mirrors the reference's geometry-
+    specialized codegen (GenerateGeometrySource emits per-stringset layer
+    tables only when the layout allows)."""
+    if "noaffine" in ablate:
+        return False, 0
+    rel = np.asarray(geo.string_dom_rel)       # (S, M, 4): dx dy dz valid
+    valid = rel[:, :, 3] > 0.5
+    if not valid.any():
+        return False, 0
+    for c in range(3):
+        if np.abs(np.where(valid, rel[:, :, c], 0.0)).max() > 1e-4:
+            return False, 0
+    feats = np.asarray(geo.string_features)
+    nd = feats[:, 7]
+    dzf = feats[:, 5]
+    multi = nd > 1
+    if np.any(multi & (dzf == 0.0)):
+        return False, 0
+    min_dz = float(np.abs(dzf[multi]).min()) if multi.any() else 1.0
+    margin = geo.collision_radius + 1.0
+    n_cand = int(np.ceil((cfg.max_segment_m + 2 * margin) / min_dz)) + 2
+    if n_cand > 16:
+        return False, 0
+    return True, n_cand
+
+
 def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
                 n_slots, iters_per_call, flush_every, queue_rows,
                 block_lanes, splits, external_uniforms, interpret,
@@ -755,6 +845,7 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
     tilt_enabled = medium.tilt.enabled
     nd = int(medium.tilt.distances.shape[0]) if tilt_enabled else 0
     nz = int(medium.tilt.z_corrections.shape[1]) if tilt_enabled else 0
+    affine_ok, n_cand = _affine_collision_plan(geo, cfg, ablate)
     return FusedSpec(
         n_blocks=n_slots // block_lanes,
         block_lanes=block_lanes,
@@ -777,6 +868,8 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         external_uniforms=external_uniforms,
         interpret=interpret,
         ablate=ablate,
+        affine_doms=affine_ok,
+        n_dom_cand=n_cand,
     )
 
 
@@ -831,15 +924,25 @@ def _build_tables(spec: FusedSpec, medium: MediumProperties,
     strT = strT.at[:, 4].set(-1.0)
     strT = strT.at[:n_str, 4].set(geo.string_max_r ** 2)
 
-    # rel table rows: dx(Mp) dy(Mp) dz(Mp) valid(Mp) + 8 feature rows
     S, M, _ = geo.string_dom_rel.shape
-    rel = jnp.zeros((4 * spec.Mpad + 8, spec.Spad), jnp.float32)
-    for c in range(4):
-        rel = rel.at[c * spec.Mpad:c * spec.Mpad + M, :S].set(
-            geo.string_dom_rel[:, :, c].T)
     feats = geo.string_features  # (S, 8): x y minz maxz z0 dzf off ndoms
-    for fi, col in enumerate((0, 1, 4, 5, 6)):
-        rel = rel.at[4 * spec.Mpad + fi, :S].set(feats[:, col])
+    if spec.affine_doms:
+        # affine mode: 8 feature rows only -- x y z0 dzf off ndoms
+        rel = jnp.zeros((8, spec.Spad), jnp.float32)
+        for fi, col in enumerate((0, 1, 4, 5, 6, 7)):
+            rel = rel.at[fi, :S].set(feats[:, col])
+        # padded strings / single-DOM strings: keep dz nonzero so the
+        # window index math stays finite (m is clipped to [0, ndoms-1])
+        dzf = jnp.where(rel[3] == 0.0, 1.0, rel[3])
+        rel = rel.at[3].set(dzf)
+    else:
+        # rel table rows: dx(Mp) dy(Mp) dz(Mp) valid(Mp) + 8 feature rows
+        rel = jnp.zeros((4 * spec.Mpad + 8, spec.Spad), jnp.float32)
+        for c in range(4):
+            rel = rel.at[c * spec.Mpad:c * spec.Mpad + M, :S].set(
+                geo.string_dom_rel[:, :, c].T)
+        for fi, col in enumerate((0, 1, 4, 5, 6)):
+            rel = rel.at[4 * spec.Mpad + fi, :S].set(feats[:, col])
     return walk, tilt_tab, acu_col, co_tab, bias_tab, strT, rel
 
 
@@ -908,7 +1011,8 @@ def _make_call(spec: FusedSpec):
         fixed((pad8(spec.n_spec - 1), 5)),                # co
         fixed((pad8(spec.n_bias - 1), 2)),                # bias
         fixed((spec.Spad, 8)),                            # strT
-        fixed((4 * spec.Mpad + 8, spec.Spad)),            # rel
+        fixed((8, spec.Spad) if spec.affine_doms
+              else (4 * spec.Mpad + 8, spec.Spad)),       # rel
         perblk(NST * RB),                                 # steps
         perblk(NSF * RB),                                 # state
     ]

@@ -167,3 +167,39 @@ def test_fused_supported_gates():
     assert FK.fused_supported(medium, spectra, bad) is not None
     water = medium._replace(medium_kind="water")
     assert FK.fused_supported(water, spectra, cfg) is not None
+
+
+def test_affine_collision_matches_general():
+    """The analytic candidate-index DOM test (affine_doms) must find exactly
+    the hits the all-rows test finds on an ideal-string geometry."""
+    medium, geo, spectra, cfg, steps, uniforms = _workload(aniso=True,
+                                                           tilt=True)
+    spec_probe = FK._affine_collision_plan(geo, cfg)
+    assert spec_probe[0], "workload geometry should qualify as affine"
+    out = {}
+    for ab in ["", "noaffine"]:
+        res, totals = FK.propagate_fused(
+            steps, medium, geo, spectra, seed=0, cfg=cfg,
+            iters_per_call=T, flush_every=1, queue_rows=32,
+            block_lanes=1024, max_calls=1, uniforms=uniforms,
+            interpret=True, ablate=ab)
+        out[ab] = (np.asarray(res.hist), np.asarray(totals))
+    np.testing.assert_allclose(out[""][0], out["noaffine"][0], atol=1e-6)
+    np.testing.assert_allclose(out[""][1], out["noaffine"][1])
+
+
+def test_affine_plan_gates():
+    medium, geo, spectra, cfg, steps, uniforms = _workload()
+    ok, n_cand = FK._affine_collision_plan(geo, cfg)
+    assert ok and 2 <= n_cand <= 16
+    # DOM residuals off the affine line force the general path
+    import jax.numpy as jnp2
+    rel = np.asarray(geo.string_dom_rel).copy()
+    rel[0, 0, 0] = 0.5
+    geo2 = geo._replace(string_dom_rel=jnp2.asarray(rel))
+    assert FK._affine_collision_plan(geo2, cfg)[0] is False
+    # a tiny max segment shrinks the candidate window
+    import dataclasses as dc
+    small = dc.replace(cfg, max_segment_m=20.0)
+    ok2, n2 = FK._affine_collision_plan(geo, small)
+    assert ok2 and n2 < n_cand
