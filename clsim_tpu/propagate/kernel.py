@@ -86,7 +86,8 @@ NST = len(STEP_FIELDS)
 PF_TILT_D0 = 36
 PF_LEN = 52
 
-(CNT_GEN, CNT_HITS, CNT_WSUM, CNT_DROPPED, CNT_ALIVE, CNT_QUEUED) = range(6)
+(CNT_GEN, CNT_HITS, CNT_WSUM, CNT_DROPPED, CNT_ALIVE, CNT_QUEUED,
+ CNT_WORK) = range(7)
 
 
 class FusedSpec(NamedTuple):
@@ -360,7 +361,7 @@ def _make_kernel(spec: FusedSpec):
         def body(i, carry):
             (photons_left, in_flight, x, y, z, t, dx, dy, dz, wlen, inv_gv,
              abs_left, pend_idx, pend_w, head, n_gen, n_hits, w_sum,
-             n_dropped) = carry
+             n_dropped, n_work) = carry
 
             if spec.external_uniforms:
                 uu = uni_ref[pl.ds(i * 8 * RB, 8 * RB), :]
@@ -722,37 +723,50 @@ def _make_kernel(spec: FusedSpec):
             died = active & (absorbed | (abs_left < EPSILON) | hit_act)
             in_flight = jnp.where(died, 0.0, in_flight)
 
+            n_work = n_work + jnp.sum(in_flight)
             return (photons_left, in_flight, x, y, z, t, dx, dy, dz, wlen,
                     inv_gv, abs_left, pend_idx, pend_w, head, n_gen,
-                    n_hits, w_sum, n_dropped)
+                    n_hits, w_sum, n_dropped, n_work)
 
         def outer_body(oi, carry):
             # flush_every inner iterations, then one unconditional flush
             # (a static structure: no data-dependent control flow needed)
-            def inner(ii, c):
-                return body(oi * spec.flush_every + ii, c)
-            carry = jax.lax.fori_loop(0, spec.flush_every, inner, carry)
-            if "noflush" in ablate:
-                zero_ = jnp.zeros_like(carry[NSF - 1])
-                pend_idx, pend_w, head, n_dropped = (
-                    zero_, zero_, carry[NSF], carry[NSF + 4])
-            else:
-                pend_idx, pend_w, head, n_dropped = flush(
-                    carry[NSF - 2], carry[NSF - 1], carry[NSF], carry[NSF + 4])
-            return carry[:NSF - 2] + (pend_idx, pend_w, head) \
-                + carry[NSF + 1:NSF + 4] + (n_dropped,)
+            def live(carry):
+                def inner(ii, c):
+                    return body(oi * spec.flush_every + ii, c)
+                carry = jax.lax.fori_loop(0, spec.flush_every, inner, carry)
+                if "noflush" in ablate:
+                    zero_ = jnp.zeros_like(carry[NSF - 1])
+                    pend_idx, pend_w, head, n_dropped = (
+                        zero_, zero_, carry[NSF], carry[NSF + 4])
+                else:
+                    pend_idx, pend_w, head, n_dropped = flush(
+                        carry[NSF - 2], carry[NSF - 1], carry[NSF],
+                        carry[NSF + 4])
+                return carry[:NSF - 2] + (pend_idx, pend_w, head) \
+                    + carry[NSF + 1:NSF + 4] + (n_dropped,) + carry[NSF + 5:]
+
+            # per-block early exit: a drained block (no photons left to
+            # spawn, none in flight, nothing pending) skips its physics --
+            # the TPU form of the reference's per-work-item
+            # `photonsLeftToPropagate > 0` loop exit
+            # (propagation_kernel.c.cl:536): whole blocks retire instead of
+            # lanes, so tail calls only pay for live blocks.
+            block_live = (jnp.sum(carry[0]) + jnp.sum(carry[1])
+                          + jnp.sum(carry[NSF - 1])) > 0.0
+            return jax.lax.cond(block_live, live, lambda c: c, carry)
 
         st = [ld(state_ref, f) for f in range(NSF)]
         zero = jnp.zeros((), jnp.float32)
         carry0 = tuple(st) + (jnp.zeros((), jnp.int32), zero, zero, zero,
-                              zero)
+                              zero, zero)
         final = jax.lax.fori_loop(0, T // spec.flush_every, outer_body,
                                   carry0)
 
         for f in range(NSF):
             state_out[pl.ds(f * RB, RB), :] = final[f]
 
-        head, n_gen, n_hits, w_sum, n_dropped = final[NSF:]
+        head, n_gen, n_hits, w_sum, n_dropped, n_work = final[NSF:]
         alive = jnp.sum(((final[1] > 0.5) | (final[0] > 0.5))
                         .astype(jnp.float32))
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -763,6 +777,7 @@ def _make_kernel(spec: FusedSpec):
         cnt = cnt + jnp.where(lane_i == CNT_ALIVE, alive, 0.0)
         cnt = cnt + jnp.where(lane_i == CNT_QUEUED,
                               head.astype(jnp.float32), 0.0)
+        cnt = cnt + jnp.where(lane_i == CNT_WORK, n_work, 0.0)
         cnt_out[:] = jnp.concatenate(
             [cnt, jnp.zeros((7, LANES), jnp.float32)], axis=0)
 
@@ -1083,7 +1098,7 @@ def _run_fused(steps: StepBatch, medium: MediumProperties,
     state0 = pack_state_arrays([init_fields[f] for f in STATE_FIELDS],
                                nb, RB)
     hist0 = jnp.zeros(geo.n_doms * cfg.hist_n_bins, jnp.float32)
-    totals0 = jnp.zeros(6, jnp.float32)
+    totals0 = jnp.zeros(7, jnp.float32)
 
     def one_call(call_no, state):
         seed_arr = (jnp.full((1,), seed, jnp.int32)
@@ -1098,10 +1113,17 @@ def _run_fused(steps: StepBatch, medium: MediumProperties,
     def body2(carry):
         call_no, state, hist, totals, _ = carry
         state, qidx, qw, cnt = one_call(call_no, state)
-        idx = qidx.reshape(-1).astype(jnp.int32)
-        w = qw.reshape(-1)
-        hist = compact_scatter_add(hist, idx, w, scatter_cap)
-        csum = jnp.sum(cnt[:, :6], axis=0)
+        csum = jnp.sum(cnt[:, :7], axis=0)
+
+        def deposit(h):
+            idx = qidx.reshape(-1).astype(jnp.int32)
+            w = qw.reshape(-1)
+            return compact_scatter_add(h, idx, w, scatter_cap)
+
+        # tail calls (drained blocks idling) queue nothing: skip the
+        # top_k + scatter entirely
+        hist = jax.lax.cond(csum[CNT_QUEUED] > 0.0, deposit,
+                            lambda h: h, hist)
         totals = totals + csum
         return (call_no + 1, state, hist, totals, csum[CNT_ALIVE])
 

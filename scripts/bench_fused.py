@@ -17,8 +17,8 @@ import jax.numpy as jnp
 
 from bench import build_workload
 from clsim_tpu.propagate.kernel import (CNT_ALIVE, CNT_DROPPED, CNT_GEN,
-                                        CNT_HITS, CNT_QUEUED, CNT_WSUM,
-                                        propagate_fused)
+                                        CNT_HITS, CNT_QUEUED, CNT_WORK,
+                                        CNT_WSUM, propagate_fused)
 
 
 def sync(x):
@@ -57,6 +57,10 @@ def main():
     n_iter = int(np.asarray(res.n_iterations))
     print(f"iterations: {n_iter} hist_sum={np.asarray(res.hist).sum():.1f}",
           flush=True)
+    work = float(tt[CNT_WORK])
+    util = work / max(n_iter * n_slots, 1)
+    print(f"work: {work:.0f} lane-iters  utilization={util:.3f}  "
+          f"iters/photon={work / max(tt[CNT_GEN], 1):.2f}", flush=True)
 
     # timing: latency-corrected over reps
     t0 = time.perf_counter()
