@@ -420,9 +420,11 @@ def _check_collisions(state: SlotState, geo: DetectorGeometry,
 
 def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
                medium: MediumProperties, geo: DetectorGeometry,
-               spectra: SpectrumTable, cfg: PropagationConfig, key):
-    import os
-    _ablate = os.environ.get("CLSIM_ABLATE", "")
+               spectra: SpectrumTable, cfg: PropagationConfig, key,
+               _ablate: str = ""):
+    # _ablate is a perf-probe hook for scripts/ only (never set on the
+    # library path; a stale env var must not be able to change physics in a
+    # cached jit, hence an explicit argument instead of os.environ)
     n = state.x.shape[0]
     u = rng.uniforms(rng.iter_key(key, i), (n,), 8)
 

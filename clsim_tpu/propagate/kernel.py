@@ -67,9 +67,14 @@ EPSILON = 1e-5
 BIG = 1e30
 LANES = 128
 
+# Per-photon wavelength-derived quantities (bias weight w0, scattering
+# coefficient scale gs, absorption coefficients pa/qa/ra, group slowness)
+# are computed ONCE at spawn and carried as state: a photon's wavelength is
+# immutable, so hoisting the pow/exp/bias-interp out of the iteration body
+# removes ~15% of per-iteration vector work with bit-identical physics.
 STATE_FIELDS = ["photons_left", "in_flight", "x", "y", "z", "t",
-                "dx", "dy", "dz", "wlen", "inv_gv", "abs_left",
-                "pend_idx", "pend_w"]
+                "dx", "dy", "dz", "w0", "inv_gv", "abs_left",
+                "gs", "pa", "qa", "ra", "pend_idx", "pend_w"]
 NSF = len(STATE_FIELDS)
 
 STEP_FIELDS = ["x", "y", "z", "t", "dir_x", "dir_y", "dir_z",
@@ -105,7 +110,7 @@ class FusedSpec(NamedTuple):
     Mpad: int
     n_spec: int            # spectrum table length
     n_bias: int
-    n_cells: int           # tilt cell count (0 = tilt disabled)
+    nz_tilt: int           # tilt z-grid points (0 = tilt disabled)
     nd_tilt: int
     aniso: bool
     hist_n_bins: int
@@ -120,6 +125,24 @@ class FusedSpec(NamedTuple):
                                # z-layer windowing, sparse_collision_kernel
                                # .c.cl:27-192) instead of all-DOM rows
     n_dom_cand: int = 8        # candidate DOMs per (segment, string)
+    spawn_every: int = 1       # run the spawn phase every k-th iteration
+                               # (amortizes spectrum sampling; k-1 extra idle
+                               # iterations per dead lane, ~(k-1)/2/lifetime
+                               # utilization cost; 1 in parity mode)
+    n_string_rounds: int = 2   # cfg.strings_per_photon (closest-string test
+                               # rounds; the reference checks every culled
+                               # string, sparse_collision_kernel.c.cl:462-587)
+    # static 2-D cell-grid cull plan (the TPU form of the reference's
+    # per-subdetector cell grid, sparse_collision_kernel.c.cl:194-460):
+    # per-lane cell index -> one-hot MXU fetch of <= K_cand candidate-string
+    # feature rows, replacing the dense all-strings cull
+    n_cull_cells: int = 8      # padded nx*ny cell count
+    K_cand: int = 8            # padded max candidate strings per cell
+    cell_x0: float = 0.0
+    cell_y0: float = 0.0
+    inv_cell: float = 1.0
+    cell_nx: int = 1
+    cell_ny: int = 1
 
 
 def _split_bf16(tab, n):
@@ -216,12 +239,12 @@ def _make_kernel(spec: FusedSpec):
     def kernel(*refs):
         if spec.external_uniforms:
             (pf_ref, seed_ref, walk_ref, tilt_ref, acu_ref, co_ref,
-             bias_ref, strT_ref, rel_ref, steps_ref, state_ref, uni_ref,
+             bias_ref, cell_ref, rel_ref, steps_ref, state_ref, uni_ref,
              state_out, qidx_out, qw_out, cnt_out) = refs
         else:
             uni_ref = None
             (pf_ref, seed_ref, walk_ref, tilt_ref, acu_ref, co_ref,
-             bias_ref, strT_ref, rel_ref, steps_ref, state_ref,
+             bias_ref, cell_ref, rel_ref, steps_ref, state_ref,
              state_out, qidx_out, qw_out, cnt_out) = refs
 
         pf = lambda i: pf_ref[i]
@@ -234,24 +257,26 @@ def _make_kernel(spec: FusedSpec):
 
         # ---- tables (VMEM-resident, bf16 split pairs precomputed) ----
         walk_splits = _split_bf16(walk_ref[:], spec.splits)   # (3Wp, Lpad)
-        rel_splits = _split_bf16(rel_ref[:], spec.splits)     # (4Mp+8, Spad)
-        if spec.n_cells:
-            tilt_splits = _split_bf16(tilt_ref[:], spec.splits)
+        if not spec.affine_doms:
+            rel_splits = _split_bf16(rel_ref[:], spec.splits)  # (4Mp+8, Spad)
+        if spec.nz_tilt:
+            tilt_splits = _split_bf16(tilt_ref[:], spec.splits)  # (2nd, nzp)
         acu_col = acu_ref[:]          # (npad, 1)
-        co_tab = co_ref[:]            # (nseg_pad, 5): x0 x1 b0 b1 acu0
-        bias_tab = bias_ref[:]        # (nbpad, 2): fp0 fp1
-        strT = strT_ref[:]            # (Spad, 8)
+        co_splits = _split_bf16(co_ref[:], spec.splits)  # (5, nseg_pad)
+        bias_splits = _split_bf16(bias_ref[:], spec.splits)  # (2, nbpad)
+        cell_splits = _split_bf16(cell_ref[:], spec.splits)  # (10C, NCp)
+        C = spec.K_cand
 
-        iota_S = jax.lax.broadcasted_iota(jnp.int32, (Spad, BLK), 0)
-        iota_M = jax.lax.broadcasted_iota(jnp.int32, (Mpad, BLK), 0) \
-            .astype(jnp.float32)
+        if not spec.affine_doms:
+            iota_S = jax.lax.broadcasted_iota(jnp.int32, (Spad, BLK), 0)
+            iota_M = jax.lax.broadcasted_iota(jnp.int32, (Mpad, BLK), 0) \
+                .astype(jnp.float32)
+        iota_C = jax.lax.broadcasted_iota(jnp.int32, (C, BLK), 0)
+        iota_cells = jax.lax.broadcasted_iota(
+            jnp.int32, (cell_ref.shape[1], BLK), 0)
         iota_L = jax.lax.broadcasted_iota(jnp.int32, (spec.Lpad, BLK), 0)
-        iota_seg = jax.lax.broadcasted_iota(
-            jnp.int32, (co_tab.shape[0], BLK), 0)
-        iota_acu = jax.lax.broadcasted_iota(
-            jnp.int32, (acu_col.shape[0], BLK), 0)
         iota_bias = jax.lax.broadcasted_iota(
-            jnp.int32, (bias_tab.shape[0], BLK), 0)
+            jnp.int32, (bias_ref.shape[1], BLK), 0)
 
         def ld(ref, f):
             return ref[pl.ds(f * RB, RB), :]
@@ -269,47 +294,71 @@ def _make_kernel(spec: FusedSpec):
         tile = lambda a: a.reshape(RB, LANES)
 
         def sample_wavelength(uw_f):
-            """Single-spectrum inverse-CDF sampling, flat (1, BLK)."""
-            cmp = (acu_col <= uw_f).astype(jnp.float32)      # (npad, BLK)
-            kseg = jnp.sum(cmp, axis=0, keepdims=True) - 1.0
-            kseg = jnp.clip(kseg, 0.0, float(spec.n_spec - 2))
-            m = (iota_seg == kseg.astype(jnp.int32)).astype(jnp.float32)
-            cols = [jnp.sum(m * co_tab[:, c:c + 1], axis=0, keepdims=True)
-                    for c in range(5)]
-            return _interp_solve(uw_f, *cols)
+            """Single-spectrum inverse-CDF sampling, flat (1, BLK) -> tiled.
+
+            The CDF-segment one-hot is the difference of the monotone
+            compare mask with its own shift (last true row == segment), and
+            the 5 interpolation columns ride ONE bf16-split MXU fetch
+            (inverse-CDF quadratic solve identical to the engine's
+            ops/samplers path / I3CLSimRandomValueInterpolatedDistribution
+            .cxx:84-135)."""
+            cmp = acu_col[:, 0:1] <= uw_f                    # (npad, BLK)
+            nxt = acu_col[:, 1:2] <= uw_f                    # acu[k+1] <= u
+            ohf = (cmp & ~nxt).astype(jnp.bfloat16)          # one-hot @ kseg
+            cols = _fetch(co_splits, ohf)                    # (5, BLK)
+            args = [tile(cols[c:c + 1]) for c in range(5)]
+            return _interp_solve(tile(uw_f), *args)
 
         def wavelength_bias(wl):
-            """Uniform-grid bias interp (exact VPU fetch), tiled shapes."""
+            """Uniform-grid bias interp; bf16-split MXU fetch, tiled."""
             bxi = (wl - pf(PF_BIAS_X0)) * pf(PF_BIAS_INV_DX)
             bk = jnp.clip(jnp.floor(bxi), 0.0, float(spec.n_bias - 2))
             bfrac = jnp.clip(bxi - bk, 0.0, 1.0)
-            mk = (iota_bias == flat(bk).astype(jnp.int32))
-            mkf = mk.astype(jnp.float32)
-            f0 = jnp.sum(mkf * bias_tab[:, 0:1], axis=0, keepdims=True)
-            f1 = jnp.sum(mkf * bias_tab[:, 1:2], axis=0, keepdims=True)
-            return tile(f0) + bfrac * (tile(f1) - tile(f0))
+            mk = (iota_bias == flat(bk).astype(jnp.int32)) \
+                .astype(jnp.bfloat16)                        # (nbpad, BLK)
+            fp = _fetch(bias_splits, mk)                     # (2, BLK)
+            f0 = tile(fp[0:1])
+            f1 = tile(fp[1:2])
+            return f0 + bfrac * (f1 - f0)
 
         def tilt_shift(x, y, z):
-            """medium/tilt.tilt_z_shift ported to flat + bf16 cell fetch."""
-            if not spec.n_cells:
+            """medium/tilt.tilt_z_shift, two-stage: one-hot over the z grid
+            (the only large axis) fetches zc[d, kz] / zc[d, kz+1] for ALL
+            nd distance columns at once; the small non-uniform distance
+            bracket is then resolved with nd-2 selects.  Replaces the
+            round-1 flat (nd-1)(nz-1)-cell one-hot whose construction cost
+            ~2(nd-1)(nz-1) VPU ops/lane (1248 for spice_lea)."""
+            if not spec.nz_tilt:
                 return jnp.zeros_like(z)
-            nz_cols = spec.n_cells // (spec.nd_tilt - 1)     # nz - 1
+            nz_cols = spec.nz_tilt - 1
             zr = (z - pf(PF_TILT_Z0)) * pf(PF_TILT_INV_DZ)
             kz = jnp.clip(jnp.floor(zr), 0.0, float(nz_cols - 1))
             fz_above = zr - kz
             fz_below = 1.0 - fz_above
             nr = pf(PF_TILT_CA) * x + pf(PF_TILT_SA) * y
-            j = jnp.ones_like(z)
-            for jj in range(1, spec.nd_tilt - 1):
-                j = jnp.where(nr >= pf(PF_TILT_D0 + jj), float(jj + 1), j)
-            cell = (j - 1.0) * float(nz_cols) + kz
-            iota_c = jax.lax.broadcasted_iota(
+            iota_tz = jax.lax.broadcasted_iota(
                 jnp.int32, (tilt_splits[0].shape[1], BLK), 0)
-            oh = (iota_c == flat(cell).astype(jnp.int32)).astype(jnp.bfloat16)
-            rows = _fetch([s for s in tilt_splits], oh)      # (8, BLK)
-            rows = rows.reshape(8, RB, LANES)
-            d_lo, d_hi = rows[0], rows[1]
-            q_ll, q_lh, q_hl, q_hh = rows[2], rows[3], rows[4], rows[5]
+            ohz = (iota_tz == flat(kz).astype(jnp.int32)).astype(jnp.bfloat16)
+            rows = _fetch(tilt_splits, ohz)          # (2 nd, BLK)
+            rows = rows.reshape(rows.shape[0], RB, LANES)
+            # distance bracket [j-1, j], j in [1, nd-1] (linear extrapolation
+            # outside the grid, exactly like medium/tilt.py:52-68)
+            j = jnp.ones_like(z)
+            d_lo = jnp.full_like(z, pf(PF_TILT_D0))
+            d_hi = jnp.full_like(z, pf(PF_TILT_D0 + 1))
+            for jj in range(1, spec.nd_tilt - 1):
+                m = nr >= pf(PF_TILT_D0 + jj)
+                j = jnp.where(m, float(jj + 1), j)
+                d_lo = jnp.where(m, pf(PF_TILT_D0 + jj), d_lo)
+                d_hi = jnp.where(m, pf(PF_TILT_D0 + jj + 1), d_hi)
+            q_ll, q_lh = rows[0], rows[1]
+            q_hl, q_hh = rows[2], rows[3]
+            for d in range(1, spec.nd_tilt - 1):
+                m = j >= float(d + 1)
+                q_ll = jnp.where(m, rows[2 * d], q_ll)
+                q_lh = jnp.where(m, rows[2 * d + 1], q_lh)
+                q_hl = jnp.where(m, rows[2 * d + 2], q_hl)
+                q_hh = jnp.where(m, rows[2 * d + 3], q_hh)
             frac_lo = (d_hi - nr) / (d_hi - d_lo)
             frac_hi = 1.0 - frac_lo
             val_lo = q_lh * fz_above + q_ll * fz_below
@@ -359,9 +408,9 @@ def _make_kernel(spec: FusedSpec):
             return zero, zero, head, n_dropped
 
         def body(i, carry):
-            (photons_left, in_flight, x, y, z, t, dx, dy, dz, wlen, inv_gv,
-             abs_left, pend_idx, pend_w, head, n_gen, n_hits, w_sum,
-             n_dropped, n_work) = carry
+            (photons_left, in_flight, x, y, z, t, dx, dy, dz, w0, inv_gv,
+             abs_left, gsv, pav, qav, rav, pend_idx, pend_w, head, n_gen,
+             n_hits, w_sum, n_dropped, n_work) = carry
 
             if spec.external_uniforms:
                 uu = uni_ref[pl.ds(i * 8 * RB, 8 * RB), :]
@@ -375,39 +424,78 @@ def _make_kernel(spec: FusedSpec):
             u = [uu[c * RB:(c + 1) * RB, :] for c in range(8)]
 
             # ---------- spawn (createPhotonFromTrack, kernel:132-184) -----
-            fresh = (in_flight < 0.5) & (photons_left > 0.5) & (pend_w <= 0.0)
-            shift = stp["length"] * u[0]
-            px = stp["x"] + stp["dir_x"] * shift
-            py = stp["y"] + stp["dir_y"] * shift
-            pz = stp["z"] + stp["dir_z"] * shift
-            pt = stp["t"] + shift / (C_LIGHT * stp["beta"])
+            # All wavelength-derived per-photon constants (group slowness,
+            # walk coefficients gs/pa/qa/ra, bias weight w0) are computed
+            # here once; the iteration body never touches the spectrum/bias
+            # tables or pow/exp again for this photon.
+            def do_spawn(sp):
+                (photons_left, in_flight, x, y, z, t, dx, dy, dz, w0,
+                 inv_gv, abs_left, gsv, pav, qav, rav, n_gen) = sp
+                fresh = (in_flight < 0.5) & (photons_left > 0.5) \
+                    & (pend_w <= 0.0)
+                shift = stp["length"] * u[0]
+                px = stp["x"] + stp["dir_x"] * shift
+                py = stp["y"] + stp["dir_y"] * shift
+                pz = stp["z"] + stp["dir_z"] * shift
+                pt = stp["t"] + shift / (C_LIGHT * stp["beta"])
 
-            if "nospawn" in ablate:
-                new_wlen = jnp.full_like(x, 400.0)
+                if "nospawn" in ablate:
+                    new_wlen = jnp.full_like(x, 400.0)
+                else:
+                    new_wlen = sample_wavelength(flat(u[1]))
+                wl_um = new_wlen * 1e-3
+                n_phase = poly4(nco, wl_um)
+                n_group = n_phase * poly4(gco, wl_um)
+                cos_c = jnp.minimum(1.0, 1.0 / (stp["beta"] * n_phase))
+                sin_c = jnp.sqrt(jnp.maximum(1.0 - cos_c * cos_c, 0.0))
+                cdx, cdy, cdz = _scatter_dir(cos_c, sin_c, stp["dir_x"],
+                                             stp["dir_y"], stp["dir_z"],
+                                             u[2])
+                ndx = jnp.where(is_cherenkov, cdx, stp["dir_x"])
+                ndy = jnp.where(is_cherenkov, cdy, stp["dir_y"])
+                ndz = jnp.where(is_cherenkov, cdz, stp["dir_z"])
+                abs_init = -jnp.log(1.0 - u[3])
+                # per-photon optical coefficients (engine medium.scat_coeff /
+                # abs_coeffs; AbsLenIceCube.cxx:63-67, ScatLenIceCube.cxx:53)
+                n_gs = (new_wlen / 400.0) ** (-pf(PF_ALPHA))
+                xkap = new_wlen ** (-pf(PF_KAPPA))
+                ebx = pf(PF_ABS_A) * jnp.exp(-pf(PF_ABS_B) / new_wlen)
+                n_pa = pf(PF_ABS_D) * xkap
+                n_qa = pf(PF_ABS_E) * xkap + ebx
+                n_ra = 0.01 * ebx
+                # saveHit weight contract (propagation_kernel.c.cl:370):
+                # weight = step.weight / bias(lambda), precomputed per photon
+                if "nobias" in ablate:
+                    n_w0 = stp["weight"]
+                else:
+                    n_w0 = stp["weight"] / jnp.maximum(
+                        wavelength_bias(new_wlen), 1e-20)
+
+                sel = lambda new, old: jnp.where(fresh, new, old)
+                x = sel(px, x); y = sel(py, y); z = sel(pz, z)
+                t = sel(pt, t)
+                dx = sel(ndx, dx); dy = sel(ndy, dy); dz = sel(ndz, dz)
+                w0 = sel(n_w0, w0)
+                inv_gv = sel(n_group / C_LIGHT, inv_gv)
+                abs_left = sel(abs_init, abs_left)
+                gsv = sel(n_gs, gsv); pav = sel(n_pa, pav)
+                qav = sel(n_qa, qav); rav = sel(n_ra, rav)
+                freshf = fresh.astype(jnp.float32)
+                in_flight = jnp.maximum(in_flight, freshf)
+                photons_left = photons_left - freshf
+                n_gen = n_gen + jnp.sum(freshf)
+                return (photons_left, in_flight, x, y, z, t, dx, dy, dz,
+                        w0, inv_gv, abs_left, gsv, pav, qav, rav, n_gen)
+
+            sp = (photons_left, in_flight, x, y, z, t, dx, dy, dz, w0,
+                  inv_gv, abs_left, gsv, pav, qav, rav, n_gen)
+            if spec.spawn_every == 1:
+                sp = do_spawn(sp)
             else:
-                new_wlen = tile(sample_wavelength(flat(u[1])))
-            wl_um = new_wlen * 1e-3
-            n_phase = poly4(nco, wl_um)
-            n_group = n_phase * poly4(gco, wl_um)
-            cos_c = jnp.minimum(1.0, 1.0 / (stp["beta"] * n_phase))
-            sin_c = jnp.sqrt(jnp.maximum(1.0 - cos_c * cos_c, 0.0))
-            cdx, cdy, cdz = _scatter_dir(cos_c, sin_c, stp["dir_x"],
-                                         stp["dir_y"], stp["dir_z"], u[2])
-            ndx = jnp.where(is_cherenkov, cdx, stp["dir_x"])
-            ndy = jnp.where(is_cherenkov, cdy, stp["dir_y"])
-            ndz = jnp.where(is_cherenkov, cdz, stp["dir_z"])
-            abs_init = -jnp.log(1.0 - u[3])
-
-            sel = lambda new, old: jnp.where(fresh, new, old)
-            x = sel(px, x); y = sel(py, y); z = sel(pz, z); t = sel(pt, t)
-            dx = sel(ndx, dx); dy = sel(ndy, dy); dz = sel(ndz, dz)
-            wlen = sel(new_wlen, wlen)
-            inv_gv = sel(n_group / C_LIGHT, inv_gv)
-            abs_left = sel(abs_init, abs_left)
-            freshf = fresh.astype(jnp.float32)
-            in_flight = jnp.maximum(in_flight, freshf)
-            photons_left = photons_left - freshf
-            n_gen = n_gen + jnp.sum(freshf)
+                sp = jax.lax.cond(i % spec.spawn_every == 0, do_spawn,
+                                  lambda s: s, sp)
+            (photons_left, in_flight, x, y, z, t, dx, dy, dz, w0, inv_gv,
+             abs_left, gsv, pav, qav, rav, n_gen) = sp
             active = in_flight > 0.5
 
             # ---------- budgets + anisotropy (kernel:615-694) -------------
@@ -439,12 +527,8 @@ def _make_kernel(spec: FusedSpec):
             win = _fetch(walk_splits, oh_w)                  # (3Wp, BLK)
             win3 = win.reshape(win.shape[0], RB, LANES)
 
-            gs = (wlen / 400.0) ** (-pf(PF_ALPHA))
-            xkap = wlen ** (-pf(PF_KAPPA))
-            ebx = pf(PF_ABS_A) * jnp.exp(-pf(PF_ABS_B) / wlen)
-            pa = pf(PF_ABS_D) * xkap
-            qa = pf(PF_ABS_E) * xkap + ebx
-            ra = 0.01 * ebx
+            # per-photon optical coefficients were computed at spawn
+            gs, pa, qa, ra = gsv, pav, qav, rav
 
             going_up = dz >= 0.0
             abs_dz = jnp.abs(dz)
@@ -513,6 +597,12 @@ def _make_kernel(spec: FusedSpec):
             abs_left_corr = jnp.where(absorbed, 0.0, abs_left_corr)
 
             # ---------- collision (sparse_collision_kernel.c.cl) ----------
+            # 2-D cell-grid cull (the TPU form of the reference's
+            # per-subdetector cell grid, _InCells :305-460): the lane's cell
+            # index selects a precomputed <= K_cand candidate-string feature
+            # block with ONE bf16-split MXU fetch; the point-to-segment cull
+            # and top-K closest-string ranking then run on (K_cand, BLK)
+            # arrays instead of (n_strings, BLK).
             dir_xy2 = dx * dx + dy * dy
             has_xy = dir_xy2 > 0.0
             inv_dir_xy2 = 1.0 / jnp.maximum(dir_xy2, 1e-20)
@@ -520,57 +610,78 @@ def _make_kernel(spec: FusedSpec):
             Rcol = jnp.sqrt(R2)
             pancake = pf(PF_PANCAKE)
 
+            cxi = jnp.clip(jnp.floor((x - spec.cell_x0) * spec.inv_cell),
+                           0.0, float(spec.cell_nx - 1))
+            cyi = jnp.clip(jnp.floor((y - spec.cell_y0) * spec.inv_cell),
+                           0.0, float(spec.cell_ny - 1))
+            cell = cxi * float(spec.cell_ny) + cyi
+
             fx_, fy_, fz_ = flat(x), flat(y), flat(z)
             fdx, fdy, fdz = flat(dx), flat(dy), flat(dz)
             fdp = flat(d_prop)
             fact = flat((active & has_xy).astype(jnp.float32)) > 0.5
             finv = flat(inv_dir_xy2)
 
-            sxc = strT[:, 0:1]
-            syc = strT[:, 1:2]
-            minzc = strT[:, 2:3]
-            maxzc = strT[:, 3:4]
-            maxr2c = strT[:, 4:5]
+            ohc = (iota_cells == flat(cell).astype(jnp.int32)) \
+                .astype(jnp.bfloat16)                        # (NCp, BLK)
+            cf = _fetch(cell_splits, ohc)                    # (10C, BLK)
+            sxc = cf[0 * C:1 * C]
+            syc = cf[1 * C:2 * C]
+            minzc = cf[2 * C:3 * C]
+            maxzc = cf[3 * C:4 * C]
+            maxr2c = cf[4 * C:5 * C]
+            z0c = cf[5 * C:6 * C]
+            dzc = cf[6 * C:7 * C]
+            offc = cf[7 * C:8 * C]
+            ndc = cf[8 * C:9 * C]
+            sic = cf[9 * C:10 * C]
 
-            rx = sxc - fx_                                   # (Spad, BLK)
+            rx = sxc - fx_                                   # (C, BLK)
             ry = syc - fy_
-            t2d = jnp.clip((rx * fdx + ry * fdy) * finv, 0.0, fdp)
-            cx = fx_ + fdx * t2d - sxc
-            cy = fy_ + fdy * t2d - syc
+            bd2 = rx * fdx + ry * fdy
+            t2d = jnp.clip(bd2 * finv, 0.0, fdp)
+            cx = rx - fdx * t2d
+            cy = ry - fdy * t2d
             dist2 = cx * cx + cy * cy
             pass_r = dist2 <= maxr2c
             pass_z = ~((fdz > 0) & (fz_ > maxzc + Rcol)) \
                 & ~((fdz < 0) & (fz_ < minzc - Rcol))
             cand = pass_r & pass_z & fact
             ranked = jnp.where(cand, dist2, BIG)
+            A2c = rx * rx + ry * ry
 
             n_string_rounds = (0 if ("nosphere" in ablate or
-                                     "nocull" in ablate) else 2)
+                                     "nocull" in ablate)
+                               else spec.n_string_rounds)
             inv_pancake = 1.0 / pancake
+
+            def pick(rows, mf):
+                """Winner-candidate feature: sum over <= K_cand rows."""
+                return tile(jnp.sum(mf * rows, axis=0, keepdims=True))
+
             if spec.affine_doms:
                 # ---- analytic candidate-DOM test (z-layer windowing): every
                 # DOM sits exactly at z0 + m*dz on a vertical string, so the
                 # <= n_dom_cand indices overlapping the segment's z-span are
-                # computed per lane -- no (Mpad, BLK) arrays at all (the TPU
-                # form of sparse_collision_kernel.c.cl:27-192's
-                # geoLayerToOMNumIndex window).
+                # computed per lane (the TPU form of
+                # sparse_collision_kernel.c.cl:27-192's geoLayerToOMNumIndex
+                # window); all per-string features come from the cell fetch.
                 hit_t = jnp.zeros_like(x, bool)
                 dist_t = d_prop
                 dom_t = jnp.zeros_like(x)
                 margin = Rcol + 1.0
                 for _k in range(n_string_rounds):
-                    mi, sidx = _min_and_idx(ranked, iota_S)
-                    mask = (iota_S == sidx)
+                    mi, sidx = _min_and_idx(ranked, iota_C)
+                    mask = (iota_C == sidx)
                     ranked = jnp.where(mask, BIG, ranked)
-                    rel = _fetch(rel_splits, mask.astype(jnp.bfloat16))
-                    r3 = rel.reshape(rel.shape[0], RB, LANES)
-                    fxs, fys, fz0, fdzf, foff, fnd = (
-                        r3[0], r3[1], r3[2], r3[3], r3[4], r3[5])
+                    mf = mask.astype(jnp.float32)
+                    A2 = pick(A2c, mf)
+                    Bd = pick(bd2, mf)
+                    fz0 = pick(z0c, mf)
+                    fdzf = pick(dzc, mf)
+                    foff = pick(offc, mf)
+                    fnd = pick(ndc, mf)
                     s_ok = tile(jnp.where(mi < BIG, 1.0, 0.0)) > 0.5
-                    oxs = fxs - x
-                    oys = fys - y
-                    A2 = oxs * oxs + oys * oys
-                    Bd = oxs * dx + oys * dy
                     # segment endpoints in DOM-index space (dz sign-agnostic)
                     inv_dzf = 1.0 / fdzf
                     m1 = (z - fz0) * inv_dzf
@@ -599,15 +710,21 @@ def _make_kernel(spec: FusedSpec):
                     dist_t = jnp.where(found, best, dist_t)
                 hit, hit_dist, hit_dom = hit_t, dist_t, dom_t
             else:
+                # general path: fetch the winner string's dense DOM-residual
+                # rows by global string index (from the cell feature block)
                 hit_f = jnp.zeros((1, BLK), bool)
                 dist_f = fdp
                 dom_f = jnp.zeros((1, BLK), jnp.float32)
                 for _k in range(n_string_rounds):
-                    mi, sidx = _min_and_idx(ranked, iota_S)
+                    mi, sidx = _min_and_idx(ranked, iota_C)
                     s_ok = mi < BIG
-                    mask = (iota_S == sidx)
+                    mask = (iota_C == sidx)
                     ranked = jnp.where(mask, BIG, ranked)
-                    rel = _fetch(rel_splits, mask.astype(jnp.bfloat16))
+                    mf = mask.astype(jnp.float32)
+                    sflat = jnp.sum(mf * sic, axis=0, keepdims=True)
+                    ohs = ((iota_S == sflat.astype(jnp.int32)) & s_ok) \
+                        .astype(jnp.bfloat16)
+                    rel = _fetch(rel_splits, ohs)
                     # rows: dxr(Mp) dyr(Mp) dzr(Mp) valid(Mp) then 8 features
                     fxs = rel[4 * Mpad + 0:4 * Mpad + 1]
                     fys = rel[4 * Mpad + 1:4 * Mpad + 2]
@@ -659,10 +776,8 @@ def _make_kernel(spec: FusedSpec):
             abs_left_corr = jnp.where(hit_act, 0.0, abs_left_corr)
 
             # ---------- record (saveHit weight contract, kernel:370) -------
-            bias = (jnp.ones_like(wlen) if "nobias" in ablate
-                    else wavelength_bias(wlen))
-            w_hit = jnp.where(hit_act,
-                              stp["weight"] / jnp.maximum(bias, 1e-20), 0.0)
+            # w0 = step.weight / bias(lambda) was precomputed at spawn
+            w_hit = jnp.where(hit_act, w0, 0.0)
             t_hit = t + inv_gv * hit_dist
             tbin = jnp.clip(
                 jnp.floor((t_hit - pf(PF_HIST_T0)) * pf(PF_INV_HIST_DT)),
@@ -681,6 +796,8 @@ def _make_kernel(spec: FusedSpec):
             z = z + actf * dz * d_prop
             t = t + actf * inv_gv * d_prop
             abs_left = jnp.where(active, abs_left_corr / abs_corr, abs_left)
+            # pre-retire activity: a photon's final segment counts as work
+            n_work = n_work + jnp.sum(actf)
 
             # ---------- scatter survivors ----------
             do_scatter = scattered & active
@@ -723,10 +840,9 @@ def _make_kernel(spec: FusedSpec):
             died = active & (absorbed | (abs_left < EPSILON) | hit_act)
             in_flight = jnp.where(died, 0.0, in_flight)
 
-            n_work = n_work + jnp.sum(in_flight)
-            return (photons_left, in_flight, x, y, z, t, dx, dy, dz, wlen,
-                    inv_gv, abs_left, pend_idx, pend_w, head, n_gen,
-                    n_hits, w_sum, n_dropped, n_work)
+            return (photons_left, in_flight, x, y, z, t, dx, dy, dz, w0,
+                    inv_gv, abs_left, gsv, pav, qav, rav, pend_idx, pend_w,
+                    head, n_gen, n_hits, w_sum, n_dropped, n_work)
 
         def outer_body(oi, carry):
             # flush_every inner iterations, then one unconditional flush
@@ -851,10 +967,81 @@ def _affine_collision_plan(geo: DetectorGeometry, cfg: PropagationConfig,
     return True, n_cand
 
 
+def _cell_plan(geo: DetectorGeometry, cfg: PropagationConfig):
+    """Static 2-D cell-grid cull plan (numpy; geometry is static).
+
+    The TPU analog of the reference's per-subdetector cell grid
+    (I3CLSimHelperGenerateGeometrySource.cxx cell tables;
+    sparse_collision_kernel.c.cl:194-460): precompute, per grid cell, every
+    string a segment *starting* in that cell could reach within
+    max_segment_m + string_max_r (string_max_r already includes the
+    collision radius).  Equivalent to the dense all-strings cull because a
+    string outside that reach can never pass the point-to-segment test.
+
+    Returns (cell_tab, plan): cell_tab is (10*K_cand, NC_pad) f32 with
+    feature-major rows [sx, sy, minz, maxz, maxr2, z0, dzf, off, nd, sidx]
+    per candidate; plan carries the static grid constants for the spec.
+    """
+    sx = np.asarray(geo.string_x, np.float64)
+    sy = np.asarray(geo.string_y, np.float64)
+    smaxr = np.asarray(geo.string_max_r, np.float64)
+    feats = np.asarray(geo.string_features, np.float64)   # (S, 8)
+    reach = float(cfg.max_segment_m) + smaxr + 1.0        # (S,) per string
+    gx0 = float((sx - reach).min())
+    gx1 = float((sx + reach).max())
+    gy0 = float((sy - reach).min())
+    gy1 = float((sy + reach).max())
+    base = float(cfg.max_segment_m) + float(smaxr.max()) + 1.0
+
+    best = None
+    for mult in (0.5, 0.75, 1.0, 1.5, 2.0, 4.0, 1e9):
+        cell = base * mult
+        nx = max(int(np.ceil((gx1 - gx0) / cell)), 1)
+        ny = max(int(np.ceil((gy1 - gy0) / cell)), 1)
+        if nx * ny > 512:
+            continue
+        lists = []
+        kmax = 1
+        for i in range(nx):
+            bx0, bx1 = gx0 + i * cell, gx0 + (i + 1) * cell
+            ddx = np.maximum(np.maximum(bx0 - sx, sx - bx1), 0.0)
+            for j in range(ny):
+                by0, by1 = gy0 + j * cell, gy0 + (j + 1) * cell
+                ddy = np.maximum(np.maximum(by0 - sy, sy - by1), 0.0)
+                cand = np.nonzero(np.hypot(ddx, ddy) <= reach)[0]
+                lists.append(cand)
+                kmax = max(kmax, len(cand))
+        Kp = -(-kmax // 8) * 8
+        NCp = -(-(nx * ny) // 8) * 8
+        # rough per-lane op model: one-hot build + per-candidate cull math
+        cost = 2 * NCp + 26 * Kp
+        if best is None or cost < best[0]:
+            best = (cost, cell, nx, ny, lists, Kp, NCp)
+    _, cell, nx, ny, lists, Kp, NCp = best
+
+    tab = np.zeros((10 * Kp, NCp), np.float32)
+    tab[4 * Kp:5 * Kp, :] = -1.0          # maxr2: padding fails the cull
+    tab[6 * Kp:7 * Kp, :] = 1.0           # dzf: keep index math finite
+    tab[8 * Kp:9 * Kp, :] = 1.0           # nd
+    tab[9 * Kp:10 * Kp, :] = -1.0         # sidx: padding selects nothing
+    maxr2 = np.asarray(geo.string_max_r, np.float64) ** 2
+    for ci, cand in enumerate(lists):
+        for k, s in enumerate(cand):
+            col = [feats[s, 0], feats[s, 1], feats[s, 2], feats[s, 3],
+                   maxr2[s], feats[s, 4],
+                   feats[s, 5] if feats[s, 5] != 0.0 else 1.0,
+                   feats[s, 6], feats[s, 7], float(s)]
+            for f in range(10):
+                tab[f * Kp + k, ci] = col[f]
+    plan = dict(n_cull_cells=NCp, K_cand=Kp, cell_x0=gx0, cell_y0=gy0,
+                inv_cell=1.0 / cell, cell_nx=nx, cell_ny=ny)
+    return tab, plan
+
+
 def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
                 n_slots, iters_per_call, flush_every, queue_rows,
                 block_lanes, splits, external_uniforms, interpret,
-                ablate="") -> FusedSpec:
+                ablate="", spawn_every=1, plan=None) -> FusedSpec:
     S, M, _ = geo.string_dom_rel.shape
     K = cfg.max_layer_steps
     tilt_enabled = medium.tilt.enabled
@@ -875,7 +1062,7 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         Mpad=-(-M // 8) * 8,
         n_spec=int(np.asarray(spectra.x).shape[1]),
         n_bias=int(np.asarray(spectra.bias_x).shape[0]),
-        n_cells=(nd - 1) * (nz - 1) if tilt_enabled else 0,
+        nz_tilt=nz if tilt_enabled else 0,
         nd_tilt=nd,
         aniso=medium.anisotropy.enabled,
         hist_n_bins=cfg.hist_n_bins,
@@ -885,6 +1072,9 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         ablate=ablate,
         affine_doms=affine_ok,
         n_dom_cand=n_cand,
+        spawn_every=1 if external_uniforms else spawn_every,
+        n_string_rounds=cfg.strings_per_photon,
+        **(plan or {}),
     )
 
 
@@ -899,57 +1089,44 @@ def _build_tables(spec: FusedSpec, medium: MediumProperties,
     Wt = shifted_window_table(medium.delta_tau, K)
     walk = _pad2(jnp.concatenate([Wb, Wa, Wt], axis=1).T, fill=1e-3)
 
-    if spec.n_cells:
+    if spec.nz_tilt:
         p = medium.tilt
         nd, nz = p.z_corrections.shape
         zc = p.z_corrections
-        cell = jnp.stack([
-            jnp.repeat(p.distances[:-1], nz - 1),
-            jnp.repeat(p.distances[1:], nz - 1),
-            zc[:-1, :-1].reshape(-1), zc[:-1, 1:].reshape(-1),
-            zc[1:, :-1].reshape(-1), zc[1:, 1:].reshape(-1),
-        ], axis=1)                                   # (cells, 6)
-        tilt_tab = _pad2(jnp.concatenate(
-            [cell, jnp.zeros((cell.shape[0], 2))], axis=1).T)  # (8, cellpad)
-        # padded distance cells must keep d_hi > d_lo to avoid 0/0
-        tilt_tab = tilt_tab.at[1, spec.n_cells:].set(1.0)
+        # (2 nd, nz-1): rows [zc[d, kz], zc[d, kz+1]] per distance column d,
+        # fetched by a kz one-hot over the (only large) z axis
+        rows = jnp.stack([zc[:, :-1], zc[:, 1:]], axis=1).reshape(
+            2 * nd, nz - 1)
+        tilt_tab = _pad2(rows)
     else:
-        tilt_tab = jnp.zeros((8, 8), jnp.float32).at[1, :].set(1.0)
+        tilt_tab = jnp.zeros((8, 8), jnp.float32)
 
     acu = jnp.asarray(spectra.acu[0], jnp.float32)
-    acu_col = _pad2(acu[:, None], cmult=1, fill=2.0)          # (npad, 1)
+    acu_pad = _pad2(acu[:, None], cmult=1, fill=2.0)[:, 0]    # (npad,)
+    # two columns: acu[k] and acu[k+1] -- the CDF-segment one-hot is the
+    # difference of their compare masks (no in-kernel rotate)
+    acu_next = jnp.concatenate([acu_pad[1:],
+                                jnp.full((1,), 2.0, jnp.float32)])
+    acu_col = jnp.stack([acu_pad, acu_next], axis=1)          # (npad, 2)
     xs = jnp.asarray(spectra.x[0], jnp.float32)
     beta = jnp.asarray(spectra.beta[0], jnp.float32)
     co = jnp.stack([xs[:-1], xs[1:], beta[:-1], beta[1:], acu[:-1]],
-                   axis=1)                                    # (n-1, 5)
-    co_tab = _pad2(co, cmult=1)
+                   axis=0)                                    # (5, n-1)
+    # column count must equal the CDF one-hot's row count (npad)
+    npad = acu_col.shape[0]
+    co_tab = jnp.zeros((8, npad), jnp.float32)
+    co_tab = co_tab.at[:5, :spec.n_spec - 1].set(co)
     # padded segments must keep x1 > x0 (slope denominator)
-    co_tab = co_tab.at[spec.n_spec - 1:, 1].set(1.0)
+    co_tab = co_tab.at[1, spec.n_spec - 1:].set(1.0)
 
     by = jnp.asarray(spectra.bias_y, jnp.float32)
-    bias_tab = _pad2(jnp.stack([by[:-1], by[1:]], axis=1), cmult=1)
-
-    # string table (Spad, 8): sx sy minz maxz maxr2 [unused x3]
-    n_str = geo.string_x.shape[0]
-    strT = jnp.zeros((spec.Spad, 8), jnp.float32)
-    strT = strT.at[:n_str, 0].set(geo.string_x)
-    strT = strT.at[:n_str, 1].set(geo.string_y)
-    strT = strT.at[:n_str, 2].set(geo.string_min_z)
-    strT = strT.at[:n_str, 3].set(geo.string_max_z)
-    strT = strT.at[:, 4].set(-1.0)
-    strT = strT.at[:n_str, 4].set(geo.string_max_r ** 2)
+    bias_tab = _pad2(jnp.stack([by[:-1], by[1:]], axis=0))    # (2->8, nbpad)
 
     S, M, _ = geo.string_dom_rel.shape
     feats = geo.string_features  # (S, 8): x y minz maxz z0 dzf off ndoms
     if spec.affine_doms:
-        # affine mode: 8 feature rows only -- x y z0 dzf off ndoms
+        # affine mode: the cell table carries every needed feature
         rel = jnp.zeros((8, spec.Spad), jnp.float32)
-        for fi, col in enumerate((0, 1, 4, 5, 6, 7)):
-            rel = rel.at[fi, :S].set(feats[:, col])
-        # padded strings / single-DOM strings: keep dz nonzero so the
-        # window index math stays finite (m is clipped to [0, ndoms-1])
-        dzf = jnp.where(rel[3] == 0.0, 1.0, rel[3])
-        rel = rel.at[3].set(dzf)
     else:
         # rel table rows: dx(Mp) dy(Mp) dz(Mp) valid(Mp) + 8 feature rows
         rel = jnp.zeros((4 * spec.Mpad + 8, spec.Spad), jnp.float32)
@@ -958,7 +1135,7 @@ def _build_tables(spec: FusedSpec, medium: MediumProperties,
                 geo.string_dom_rel[:, :, c].T)
         for fi, col in enumerate((0, 1, 4, 5, 6)):
             rel = rel.at[4 * spec.Mpad + fi, :S].set(feats[:, col])
-    return walk, tilt_tab, acu_col, co_tab, bias_tab, strT, rel
+    return walk, tilt_tab, acu_col, co_tab, bias_tab, rel
 
 
 def _build_pf(medium: MediumProperties, geo: DetectorGeometry,
@@ -1016,16 +1193,17 @@ def _make_call(spec: FusedSpec):
     perblk = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM)
     pad8 = lambda v: -(-v // 8) * 8
-    cellpad = pad8(spec.n_cells) if spec.n_cells else 8
+    tilt_shape = ((pad8(2 * spec.nd_tilt), pad8(spec.nz_tilt - 1))
+                  if spec.nz_tilt else (8, 8))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),            # pf
         pl.BlockSpec(memory_space=pltpu.SMEM),            # seed
         fixed((pad8(3 * (2 * spec.K + 1)), spec.Lpad)),   # walk
-        fixed((8, cellpad)),                              # tilt
-        fixed((pad8(spec.n_spec), 1)),                    # acu
-        fixed((pad8(spec.n_spec - 1), 5)),                # co
-        fixed((pad8(spec.n_bias - 1), 2)),                # bias
-        fixed((spec.Spad, 8)),                            # strT
+        fixed(tilt_shape),                                # tilt
+        fixed((pad8(spec.n_spec), 2)),                    # acu
+        fixed((8, pad8(spec.n_spec))),                    # co
+        fixed((8, pad8(spec.n_bias - 1))),                # bias
+        fixed((10 * spec.K_cand, spec.n_cull_cells)),     # cell
         fixed((8, spec.Spad) if spec.affine_doms
               else (4 * spec.Mpad + 8, spec.Spad)),       # rel
         perblk(NST * RB),                                 # steps
@@ -1072,47 +1250,68 @@ def unpack_state_array(packed, n_blocks, rb, n_fields):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "spec", "max_calls", "scatter_cap"))
+    static_argnames=("cfg", "spec", "max_calls", "scatter_cap", "repack"))
 def _run_fused(steps: StepBatch, medium: MediumProperties,
                geo: DetectorGeometry, spectra: SpectrumTable, seed,
                cfg: PropagationConfig, spec: FusedSpec,
-               max_calls: int, scatter_cap: int, uniforms=None):
+               max_calls: int, scatter_cap: int, cell_tab=None,
+               uniforms=None, repack: bool = False):
     nb = spec.n_blocks
     RB = spec.block_lanes // LANES
     call = _make_call(spec)
     tables = _build_tables(spec, medium, geo, spectra, cfg)
     pf = _build_pf(medium, geo, spectra, cfg)
+    walk, tilt_tab, acu_col, co_tab, bias_tab, rel = tables
 
     steps_packed = pack_state_arrays(
         [getattr(steps, f) for f in STEP_FIELDS], nb, RB)
     n = steps.x.shape[0]
     zf = jnp.zeros(n, jnp.float32)
+    ones = jnp.ones(n, jnp.float32)
     init_fields = {
         "photons_left": steps.num_photons.astype(jnp.float32),
         "in_flight": zf, "x": zf, "y": zf, "z": zf, "t": zf,
-        "dx": zf, "dy": zf, "dz": jnp.ones(n, jnp.float32),
-        "wlen": jnp.full(n, 400.0, jnp.float32),
+        "dx": zf, "dy": zf, "dz": ones,
+        "w0": zf,
         "inv_gv": jnp.full(n, 1.0 / 0.2, jnp.float32),
-        "abs_left": zf, "pend_idx": zf, "pend_w": zf,
+        "abs_left": zf,
+        # benign finite coefficients for never-spawned lanes (keep the walk's
+        # divisions finite; all uses are gated on in_flight)
+        "gs": ones, "pa": zf, "qa": ones, "ra": zf,
+        "pend_idx": zf, "pend_w": zf,
     }
     state0 = pack_state_arrays([init_fields[f] for f in STATE_FIELDS],
                                nb, RB)
     hist0 = jnp.zeros(geo.n_doms * cfg.hist_n_bins, jnp.float32)
     totals0 = jnp.zeros(7, jnp.float32)
 
-    def one_call(call_no, state):
+    def one_call(call_no, steps_p, state):
         seed_arr = (jnp.full((1,), seed, jnp.int32)
                     + call_no.astype(jnp.int32) * 7919)
-        args = [pf, seed_arr, *tables, steps_packed, state]
+        args = [pf, seed_arr, walk, tilt_tab, acu_col, co_tab, bias_tab,
+                cell_tab, rel, steps_p, state]
         if spec.external_uniforms:
             args.append(uniforms)
         return call(*args)
 
+    def do_repack(steps_p, state):
+        """Stable-partition live lanes to the front so drained blocks hit
+        the kernel's per-block early exit (the divergence-control role of
+        the reference's ascending-photon-count bunching,
+        I3CLSimStepStore.h:163-220, applied *during* the run)."""
+        st = unpack_state_array(state, nb, RB, NSF)       # (NSF, N)
+        sp = unpack_state_array(steps_p, nb, RB, NST)     # (NST, N)
+        dead = jnp.where((st[0] > 0.5) | (st[1] > 0.5), 0, 1)
+        perm = jnp.argsort(dead, stable=True)
+        both = jnp.take(jnp.concatenate([st, sp], axis=0), perm, axis=1)
+        return (pack_state_arrays(list(both[NSF:]), nb, RB),
+                pack_state_arrays(list(both[:NSF]), nb, RB))
+
     # the alive-based stop condition needs the *last* call's alive count
     # (totals accumulates), so carry it separately
     def body2(carry):
-        call_no, state, hist, totals, _ = carry
-        state, qidx, qw, cnt = one_call(call_no, state)
+        call_no, steps_p, state, hist, totals, _ = carry
+        state, qidx, qw, cnt = one_call(call_no, steps_p, state)
         csum = jnp.sum(cnt[:, :7], axis=0)
 
         def deposit(h):
@@ -1125,16 +1324,25 @@ def _run_fused(steps: StepBatch, medium: MediumProperties,
         hist = jax.lax.cond(csum[CNT_QUEUED] > 0.0, deposit,
                             lambda h: h, hist)
         totals = totals + csum
-        return (call_no + 1, state, hist, totals, csum[CNT_ALIVE])
+        if repack:
+            steps_p, state = jax.lax.cond(
+                (csum[CNT_ALIVE] > 0.0)
+                & (csum[CNT_ALIVE] < 0.9 * float(steps.x.shape[0])),
+                lambda a: do_repack(*a), lambda a: a, (steps_p, state))
+        return (call_no + 1, steps_p, state, hist, totals, csum[CNT_ALIVE])
 
     def cond2(carry):
-        call_no, _, _, _, alive = carry
+        call_no, _, _, _, _, alive = carry
         return ((call_no == 0) | (alive > 0.0)) & (call_no < max_calls)
 
-    call_no, state, hist, totals, _ = jax.lax.while_loop(
-        cond2, body2, (jnp.zeros((), jnp.int32), state0, hist0, totals0,
-                       jnp.ones((), jnp.float32)))
+    call_no, _, state, hist, totals, alive = jax.lax.while_loop(
+        cond2, body2, (jnp.zeros((), jnp.int32), steps_packed, state0,
+                       hist0, totals0, jnp.ones((), jnp.float32)))
 
+    # CNT_ALIVE reports ABANDONED photons: slots still live when the
+    # max_calls budget ran out (0 when the workload fully drained) -- the
+    # "gave up vs drained" counter the round-1 review asked for.
+    totals = totals.at[CNT_ALIVE].set(alive)
     return PropagationResult(
         hist=hist.reshape(geo.n_doms, cfg.hist_n_bins),
         n_generated=totals[CNT_GEN],
@@ -1147,13 +1355,15 @@ def _run_fused(steps: StepBatch, medium: MediumProperties,
 def propagate_fused(steps: StepBatch, medium: MediumProperties,
                     geo: DetectorGeometry, spectra: SpectrumTable,
                     seed: int, cfg: PropagationConfig,
-                    iters_per_call: int = 32,
-                    flush_every: int = 8,
+                    iters_per_call: int = 128,
+                    flush_every: int = 16,
                     queue_rows: int = 32,
                     block_lanes: int = 2048,
                     splits: int = 2,
                     max_calls: int = 256,
                     scatter_cap: int = 8192,
+                    spawn_every: int = 4,
+                    repack: bool = True,
                     uniforms=None,
                     interpret: bool = False,
                     ablate: str = "") -> PropagationResult:
@@ -1180,14 +1390,18 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
         raise ValueError("external uniforms (parity mode) require "
                          "max_calls=1: each call would replay the same "
                          "uniform stream")
+    cell_tab, plan = _cell_plan(geo, cfg)
     spec = _build_spec(medium, geo, spectra, cfg, n, iters_per_call,
                        flush_every, queue_rows, block_lanes, splits,
-                       uniforms is not None, interpret, ablate)
+                       uniforms is not None, interpret, ablate,
+                       spawn_every=spawn_every, plan=plan)
     if uniforms is not None:
         uniforms = _layout_uniforms(uniforms, spec)
     res, totals = _run_fused(steps, medium, geo, spectra, int(seed), cfg,
                              spec, max_calls, scatter_cap,
-                             uniforms=uniforms)
+                             cell_tab=jnp.asarray(cell_tab),
+                             uniforms=uniforms,
+                             repack=repack and uniforms is None)
     return res, totals
 
 

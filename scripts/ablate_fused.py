@@ -18,9 +18,10 @@ import jax.numpy as jnp
 from bench import build_workload
 from clsim_tpu.propagate.kernel import CNT_GEN, propagate_fused
 
-ABLATIONS = ["", "norng", "nospawn", "notilt", "nowalk", "nocull",
-             "nosphere", "noscatter", "nobias", "noflush",
-             "nocull,notilt,nowalk,nospawn"]
+ABLATIONS = os.environ.get(
+    "BENCH_ABLATIONS",
+    "|norng|nospawn|notilt|nowalk|nocull|nosphere|noscatter|nobias|noflush|"
+    "nocull,notilt,nowalk,nospawn").split("|")
 
 
 def sync(x):
