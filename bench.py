@@ -50,8 +50,13 @@ def build_workload(n_slots, photons_per_slot):
         DEFAULT_ICE_REF_INDEX, medium.min_wlen, medium.max_wlen,
         bias_wlen_nm=bias_x, bias_values=bias_y)])
 
+    # max_segment_m=35/K=4: statistically identical physics (memoryless
+    # exponential truncation), picked by scripts/sweep_fused.py -- smaller
+    # caps shrink the walk window, the DOM-candidate count AND the cell-cull
+    # reach, winning ~25% over the 90 m default on this workload
     cfg = PropagationConfig(n_slots=n_slots, pancake_factor=5.0,
-                            hist_n_bins=512, max_layer_steps=10,
+                            hist_n_bins=512, max_layer_steps=4,
+                            max_segment_m=35.0,
                             hit_compact_capacity=4096)
 
     # cascade-like step cloud near the detector center (mirrors the benchmark

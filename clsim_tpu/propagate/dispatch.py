@@ -29,7 +29,7 @@ def _seed_from_key(key) -> int:
 
 
 def _pick_block_lanes(n: int) -> Optional[int]:
-    for blk in (2048, 1024, 512, 256, 128):
+    for blk in (8192, 4096, 2048, 1024, 512, 256, 128):
         if n % blk == 0:
             return blk
     return None

@@ -1355,10 +1355,10 @@ def _run_fused(steps: StepBatch, medium: MediumProperties,
 def propagate_fused(steps: StepBatch, medium: MediumProperties,
                     geo: DetectorGeometry, spectra: SpectrumTable,
                     seed: int, cfg: PropagationConfig,
-                    iters_per_call: int = 128,
+                    iters_per_call: int = 256,
                     flush_every: int = 16,
                     queue_rows: int = 32,
-                    block_lanes: int = 2048,
+                    block_lanes: int = 4096,
                     splits: int = 2,
                     max_calls: int = 256,
                     scatter_cap: int = 8192,
