@@ -297,7 +297,7 @@ def oracle_walk(m: OracleMedium, x, y, z, dz_dir, wlen, sca_budget,
 # ---------------------------------------------------------------------------
 
 def oracle_propagate(steps, medium, geo, spectrum_xy, bias_xy, cfg, rng,
-                     photons_per_step=1):
+                     photons_per_step=1, collect_weights=False):
     """Propagate `photons_per_step` photons per step row; returns
     (hist[n_doms, n_bins], n_hits, weight_sum).
 
@@ -347,6 +347,7 @@ def oracle_propagate(steps, medium, geo, spectrum_xy, bias_xy, cfg, rng,
     alive = np.ones(n, bool)
     n_hits = 0
     w_sum = 0.0
+    hit_weights = []
 
     max_gen = 100000
     for _gen in range(max_gen):
@@ -391,6 +392,8 @@ def oracle_propagate(steps, medium, geo, spectrum_xy, bias_xy, cfg, rng,
         np.add.at(hist, flat[hit], w0[idx][hit])
         n_hits += int(hit.sum())
         w_sum += float(w0[idx][hit].sum())
+        if collect_weights:
+            hit_weights.append(w0[idx][hit])
 
         d_adv = np.where(hit, hit_dist, d_prop)
         x[idx] += dxa * d_adv
@@ -421,6 +424,10 @@ def oracle_propagate(steps, medium, geo, spectrum_xy, bias_xy, cfg, rng,
         dy[idx] = np.where(surv, ndy, dya)
         dz[idx] = np.where(surv, ndz, dza)
         alive[idx] = surv
+    if collect_weights:
+        w = (np.concatenate(hit_weights) if hit_weights
+             else np.zeros(0))
+        return hist.reshape(len(dom_x), n_bins), n_hits, w_sum, w
     return hist.reshape(len(dom_x), n_bins), n_hits, w_sum
 
 
@@ -441,18 +448,18 @@ def _tau_abs_used(m: OracleMedium, x, y, z, dz_dir, wlen, dist):
                       m.h / np.maximum(np.abs(dz_dir), 1e-300))
     tau = np.zeros_like(dist)
     t_done = np.zeros_like(dist)
+    finished = np.zeros(dist.shape, bool)
     while True:
         inv_a = m.inv_abs(j, wlen)
         at_edge = np.where(going_up, j >= m.L - 1, j <= 0)
-        seg_end = np.where(at_edge, np.full_like(dist, np.inf),
-                           np.minimum(t_bound, dist))
-        seg_end = np.minimum(seg_end, dist)
-        tau += np.maximum(seg_end - t_done, 0.0) * inv_a
-        done = at_edge | (t_bound >= dist)
-        if done.all():
+        seg_end = np.minimum(np.where(at_edge, np.inf, t_bound), dist)
+        tau += np.where(finished, 0.0,
+                        np.maximum(seg_end - t_done, 0.0) * inv_a)
+        finished |= at_edge | (t_bound >= dist)
+        if finished.all():
             break
-        t_done = np.where(done, t_done, t_bound)
-        t_bound = np.where(done, t_bound, t_bound + t_step)
-        j = np.where(done, j, j + np.where(going_up, 1, -1))
+        t_done = np.where(finished, t_done, t_bound)
+        t_bound = np.where(finished, t_bound, t_bound + t_step)
+        j = np.where(finished, j, j + np.where(going_up, 1, -1))
         j = np.clip(j, 0, m.L - 1)
     return tau

@@ -1,0 +1,91 @@
+"""Large-N engine-vs-oracle validation (the BASELINE correctness protocol).
+
+Runs >= 1e6 photons through both the JAX engine (and the fused TPU kernel
+when a TPU is present) and the independent float64 numpy oracle
+(clsim_tpu/validate/oracle.py), then compares:
+
+  * total hit counts (Poisson z-score)
+  * the DOM-summed hit-time histogram in coarse bins (per-bin z-scores)
+  * per-DOM occupancy of the hottest DOMs
+
+This replicates the role of the reference's compareToPPC golden comparison
+(SURVEY.md section 4.3) with the oracle standing in for the independent
+implementation (OpenCL cannot run in this environment).  Protocol: pinned
+seeds on both sides, agreement required at |z| < 5 for every statistic.
+
+Usage:  python scripts/validate_oracle.py [n_photons]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_oracle import _workload
+from clsim_tpu.propagate.dispatch import propagate_auto
+from clsim_tpu.types import StepBatch
+from clsim_tpu.validate.oracle import oracle_propagate
+
+
+def main():
+    n_photons = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    medium, geo, spectra, cfg, steps = _workload(bias=True)
+    n_steps = steps.x.shape[0]
+    pps = max(1, n_photons // n_steps)
+    steps = steps._replace(num_photons=np.full(n_steps, pps, np.int32))
+    print(f"{n_steps} steps x {pps} photons = {n_steps*pps}")
+
+    steps_j = StepBatch(*[jnp.asarray(f) for f in steps])
+    t0 = time.perf_counter()
+    res = propagate_auto(steps_j, medium, geo, spectra, 3, cfg)
+    eng_hits = float(res.n_hits)
+    eng_hist = np.asarray(res.hist, np.float64)
+    print(f"engine: {eng_hits:.0f} hits in {time.perf_counter()-t0:.1f}s "
+          f"(backend auto, platform {jax.devices()[0].platform})")
+
+    t0 = time.perf_counter()
+    o_hist, o_hits, o_w = oracle_propagate(
+        steps, medium, geo,
+        (np.asarray(spectra.x[0]), np.asarray(spectra.beta[0])),
+        (np.asarray(spectra.bias_x), np.asarray(spectra.bias_y)),
+        cfg, np.random.default_rng(123), photons_per_step=pps)
+    print(f"oracle: {o_hits} hits in {time.perf_counter()-t0:.1f}s")
+
+    z_tot = (eng_hits - o_hits) / np.sqrt(eng_hits + o_hits)
+    print(f"total-hits z = {z_tot:+.2f}")
+    fails = int(abs(z_tot) >= 5)
+
+    # coarse weighted time histogram with effective-count errors
+    te = eng_hist.sum(axis=0).reshape(10, -1).sum(axis=1)
+    to = o_hist.sum(axis=0).reshape(10, -1).sum(axis=1)
+    wbar = max(eng_hist.sum() / max(eng_hits, 1), 1e-9)
+    print("time bins (engine / oracle / z):")
+    for k in range(10):
+        if te[k] + to[k] < 25 * wbar:
+            continue
+        z = (te[k] - to[k]) / (wbar * np.sqrt((te[k] + to[k]) / wbar))
+        flag = "  <-- FAIL" if abs(z) >= 5 else ""
+        print(f"  [{k}] {te[k]:12.1f} {to[k]:12.1f} {z:+6.2f}{flag}")
+        fails += int(abs(z) >= 5)
+
+    occ_e = eng_hist.sum(axis=1)
+    occ_o = o_hist.sum(axis=1)
+    hot = np.argsort(occ_e + occ_o)[-10:]
+    worst = 0.0
+    for d in hot:
+        z = (occ_e[d] - occ_o[d]) / (
+            wbar * np.sqrt((occ_e[d] + occ_o[d]) / wbar))
+        worst = max(worst, abs(z))
+        fails += int(abs(z) >= 5)
+    print(f"hottest-10 DOM occupancy worst |z| = {worst:.2f}")
+    print("PASS" if fails == 0 else f"FAIL ({fails} statistics over 5 sigma)")
+    return 0 if fails == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
