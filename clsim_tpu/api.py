@@ -160,9 +160,17 @@ class Simulation:
         return self.run_steps(slot_batches, seed)
 
     def simulate_hits(self, particles: Sequence[Particle], seed: int,
-                      dom_efficiency: float = 1.0):
-        """Particles -> (dom_indices, times, identifiers) MCPE arrays.  The
-        I3CLSimMakeHits equivalent (requires save_photons=True config)."""
+                      dom_efficiency: float = 1.0,
+                      per_dom_efficiency=None,
+                      merge_window_ns: Optional[float] = None):
+        """Particles -> (dom_indices, times, identifiers) MCPE arrays or,
+        with a merge window, (dom, time, npe, identifier).  The
+        I3CLSimMakeHits equivalent (requires save_photons=True config).
+
+        `per_dom_efficiency` is an optional (n_doms,) calibration vector
+        (RDE x SPE compensation, I3PhotonToMCPEConverter.cxx:340-387);
+        `merge_window_ns` enables the reference's optional hit
+        time-merging (…cxx:520+)."""
         if not self.config.save_photons:
             raise ValueError("simulate_hits requires config.save_photons=True")
         res = self.simulate(particles, seed)
@@ -172,5 +180,52 @@ class Simulation:
         key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x4d435045)
         mcpes = sample_mcpes(res.rec, res.rec_count, key,
                              self.wlen_acceptance, self.angular_coeffs,
-                             efficiency=dom_efficiency)
-        return mcpes_to_numpy(mcpes)
+                             efficiency=dom_efficiency,
+                             dom_efficiency=per_dom_efficiency)
+        dom, t, ident = mcpes_to_numpy(mcpes)
+        if merge_window_ns is not None:
+            from .hits.mcpe import merge_mcpes
+            return merge_mcpes(dom, t, ident, merge_window_ns)
+        return dom, t, ident
+
+    # -- two-phase flow (MakePhotons -> file -> MakeHitsFromPhotons,
+    #    python/traysegments/I3CLSimMakeHitsFromPhotons.py:55) -----------
+    def simulate_photons(self, particles: Sequence[Particle], seed: int,
+                         save_path=None):
+        """Particles -> PhotonBatch with detector (string_id, om_id) pairs
+        remapped from flat device indices on download
+        (I3CLSimStepToPhotonConverterOpenCL.cxx:1563-1614).  Optionally
+        persists to `save_path` (npz) — the I3CLSimMakePhotons half."""
+        if not self.config.save_photons:
+            raise ValueError(
+                "simulate_photons requires config.save_photons=True")
+        from .hits.photons import records_to_photon_batch, save_photons_npz
+        res = self.simulate(particles, seed)
+        if res is None:
+            raise ValueError("no light sources produced steps")
+        batch = records_to_photon_batch(res.rec, res.rec_count, self.geometry)
+        if save_path is not None:
+            save_photons_npz(save_path, batch)
+        return batch
+
+    def simulate_hits_from_photons(self, photons, seed: int,
+                                   dom_efficiency: float = 1.0,
+                                   per_dom_efficiency=None,
+                                   merge_window_ns: Optional[float] = None):
+        """PhotonBatch (or npz path) -> MCPE arrays: the
+        I3CLSimMakeHitsFromPhotons half, runnable later / elsewhere against
+        saved photon records."""
+        from .hits.mcpe import merge_mcpes, sample_mcpes_from_batch
+        from .hits.photons import load_photons_npz, photon_batch_dom_index
+        if isinstance(photons, (str, bytes)) or hasattr(photons, "__fspath__"):
+            photons = load_photons_npz(photons)
+        dom_index = photon_batch_dom_index(photons, self.geometry)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x4d435045)
+        mcpes = sample_mcpes_from_batch(
+            photons, dom_index, key, self.wlen_acceptance,
+            self.angular_coeffs, efficiency=dom_efficiency,
+            dom_efficiency=per_dom_efficiency)
+        dom, t, ident = mcpes_to_numpy(mcpes)
+        if merge_window_ns is not None:
+            return merge_mcpes(dom, t, ident, merge_window_ns)
+        return dom, t, ident

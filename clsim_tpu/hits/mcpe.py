@@ -53,13 +53,20 @@ def hit_probability(weight, wavelength, cos_impact,
 
 def sample_mcpes(rec: dict, rec_count, key,
                  wlen_acceptance: TableParams, angular_coeffs,
-                 efficiency=1.0, pmt_axis=(0.0, 0.0, -1.0)) -> MCPEBatch:
+                 efficiency=1.0, pmt_axis=(0.0, 0.0, -1.0),
+                 dom_efficiency=None) -> MCPEBatch:
     """Accept/reject photon records into MCPEs.
 
     `rec`/`rec_count` are the propagation result's record rings (flattened
     over slots x capacity).  cos(impact) is computed from the photon
     direction against the PMT axis only, matching the reference's standard
     path (position unused when pancaked, …cxx:410-445).
+
+    `efficiency` is the global scale; `dom_efficiency` is an optional
+    per-DOM calibration vector (n_doms,) -- the RDE x SPE-compensation
+    factor the reference reads from I3Calibration per module
+    (I3PhotonToMCPEConverter.cxx:340-387); both multiply the hit
+    probability.
     """
     n_slots, cap = rec["time"].shape
     flat = {k: v.reshape(-1) for k, v in rec.items()}
@@ -75,14 +82,75 @@ def sample_mcpes(rec: dict, rec_count, key,
     ax, ay, az = pmt_axis
     cos_impact = -(dx * ax + dy * ay + dz * az)
 
+    dom = flat["dom"].astype(jnp.int32)
     p = hit_probability(flat["weight"], flat["wavelength"], cos_impact,
                         wlen_acceptance, angular_coeffs, efficiency)
+    if dom_efficiency is not None:
+        from ..ops.lookup import onehot_gather
+        p = p * onehot_gather(jnp.asarray(dom_efficiency, jnp.float32), dom)
     u = jax.random.uniform(key, p.shape)
     accept = valid & (p > u)
     return MCPEBatch(valid=accept,
-                     dom=flat["dom"].astype(jnp.int32),
+                     dom=dom,
                      time=flat["time"],
                      identifier=flat["identifier"].astype(jnp.int32))
+
+
+def sample_mcpes_from_batch(batch, dom_index, key,
+                            wlen_acceptance: TableParams, angular_coeffs,
+                            efficiency=1.0, pmt_axis=(0.0, 0.0, -1.0),
+                            dom_efficiency=None) -> MCPEBatch:
+    """Accept/reject a (possibly file-loaded) PhotonBatch into MCPEs: the
+    I3CLSimMakeHitsFromPhotons half of the two-phase flow.  `dom_index` is
+    the flat DOM index per photon (hits/photons.photon_batch_dom_index)."""
+    theta = jnp.asarray(batch.dir_theta)
+    phi = jnp.asarray(batch.dir_phi)
+    dx = jnp.sin(theta) * jnp.cos(phi)
+    dy = jnp.sin(theta) * jnp.sin(phi)
+    dz = jnp.cos(theta)
+    ax, ay, az = pmt_axis
+    cos_impact = -(dx * ax + dy * ay + dz * az)
+    p = hit_probability(jnp.asarray(batch.weight),
+                        jnp.asarray(batch.wavelength), cos_impact,
+                        wlen_acceptance, angular_coeffs, efficiency)
+    dom = jnp.asarray(dom_index, jnp.int32)
+    if dom_efficiency is not None:
+        from ..ops.lookup import onehot_gather
+        p = p * onehot_gather(jnp.asarray(dom_efficiency, jnp.float32), dom)
+    u = jax.random.uniform(key, p.shape)
+    accept = jnp.asarray(batch.valid) & (p > u)
+    return MCPEBatch(valid=accept, dom=dom,
+                     time=jnp.asarray(batch.time),
+                     identifier=jnp.asarray(batch.identifier, jnp.int32))
+
+
+def merge_mcpes(dom, time, ident, window_ns: float):
+    """Merge MCPEs on the same DOM closer than `window_ns` into one entry
+    with summed npe, keeping the earliest time (the reference's optional
+    hit time-merging, I3PhotonToMCPEConverter.cxx:520+).
+
+    Inputs are host numpy arrays sorted however; returns
+    (dom, time, npe, ident) sorted by (dom, time).  The merged entry keeps
+    the first contributing photon's identifier.
+    """
+    dom = np.asarray(dom)
+    time = np.asarray(time)
+    ident = np.asarray(ident)
+    order = np.lexsort((time, dom))
+    dom, time, ident = dom[order], time[order], ident[order]
+    if len(dom) == 0:
+        return dom, time, np.zeros(0, np.int32), ident
+    # a new group starts when the DOM changes or the gap exceeds the window
+    # (gap measured to the previous hit, matching the reference's sequential
+    # coalescing of time-sorted hits)
+    new_group = np.ones(len(dom), bool)
+    new_group[1:] = (dom[1:] != dom[:-1]) | \
+        ((time[1:] - time[:-1]) > window_ns)
+    gid = np.cumsum(new_group) - 1
+    n_groups = gid[-1] + 1
+    npe = np.bincount(gid, minlength=n_groups).astype(np.int32)
+    first = np.nonzero(new_group)[0]
+    return dom[first], time[first], npe, ident[first]
 
 
 def expected_mcpe_factor(wlen_acceptance: TableParams, spectrum_x, spectrum_pdf,

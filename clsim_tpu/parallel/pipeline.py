@@ -88,15 +88,29 @@ class EventPipeline:
             prepared.append((ev_id, slot_batches, per_particle))
 
         # asynchronous dispatch with bounded in-flight futures: the device
-        # works on batch k while the host prepares/enqueues k+1..k+depth
-        from ..propagate.engine import propagate
+        # works on batch k while the host prepares/enqueues k+1..k+depth.
+        # Dispatch goes through propagate_auto, so on TPU the fused Pallas
+        # kernel serves the pipeline (round-1 review item: the event layer
+        # must not hardcode the slow engine).
+        from ..propagate.dispatch import propagate_auto
         in_flight = []   # (event_id, result_future, host_t0)
         results: Dict[int, EventResult] = {}
+        last_done = [None]   # completion time of the previous harvest
 
         def harvest(entry):
             ev_id, res, t0 = entry
-            host_t = time.perf_counter() - t0
             hist = np.asarray(res.hist)       # sync point
+            now = time.perf_counter()
+            host_t = now - t0
+            # device-time estimate from consecutive completion gaps: with a
+            # saturated in-flight queue the device runs back-to-back, so the
+            # gap between this completion and max(previous completion,
+            # submission) is the device execution span of THIS batch (the
+            # role of CL_PROFILING_COMMAND_START/END in the reference,
+            # I3CLSimStepToPhotonConverterOpenCL.cxx:1092-1135)
+            floor_t = t0 if last_done[0] is None else max(last_done[0], t0)
+            device_t = max(now - floor_t, 0.0)
+            last_done[0] = now
             r = results.get(ev_id)
             if r is None:
                 r = EventResult(event_id=ev_id, hist=hist,
@@ -111,7 +125,7 @@ class EventPipeline:
                 r.n_hits += float(res.n_hits)
                 r.weight_hits += float(res.weight_hits)
             self.stats.record(float(res.n_generated), float(res.n_hits),
-                              float(res.weight_hits), host_t, host_t)
+                              float(res.weight_hits), device_t, host_t)
 
         key = jax.random.PRNGKey(seed)
         batch_counter = 0
@@ -128,8 +142,8 @@ class EventPipeline:
                 bkey = jax.random.fold_in(key, batch_counter)
                 batch_counter += 1
                 t0 = time.perf_counter()
-                res = propagate(b, sim.medium, sim.geometry, sim.spectra,
-                                bkey, sim.config)
+                res = propagate_auto(b, sim.medium, sim.geometry,
+                                     sim.spectra, bkey, sim.config)
                 in_flight.append((ev_id, res, t0))
                 if len(in_flight) >= self.max_in_flight:
                     harvest(in_flight.pop(0))

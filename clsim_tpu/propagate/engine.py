@@ -500,6 +500,17 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
         # differentiable path: the weight is smooth in the ice parameters.
         frac = hit_dist / jnp.maximum(d_prop, 1e-20)
         w_hit = w_hit * jnp.exp(-(tau_start + frac * tau_seg))
+        if cfg.expected_angular_poly is not None:
+            # fold the per-photon angular acceptance here, where the
+            # direction is known (the accept/reject path applies the same
+            # polynomial per record, I3PhotonToMCPEConverter.cxx:466-475)
+            ax, ay, az = cfg.pmt_axis
+            cos_eta = jnp.clip(-(state.dx * ax + state.dy * ay
+                                 + state.dz * az), -1.0, 1.0)
+            ang = jnp.zeros_like(cos_eta)
+            for c in reversed(cfg.expected_angular_poly):
+                ang = ang * cos_eta + c
+            w_hit = w_hit * jnp.maximum(ang, 0.0)
 
     t_hit = state.t + state.inv_groupvel * hit_dist
     tbin_f = (t_hit - cfg.hist_t_min) / cfg.hist_dt

@@ -13,7 +13,7 @@ the static fields of PropagationConfig.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -146,6 +146,15 @@ class PropagationConfig:
     hist_t_max: float = 6400.0
     hist_n_bins: int = 512
     soft_binning: bool = False      # linear-interp deposition (differentiable)
+    # expected-estimator completeness: fold the DOM angular acceptance
+    # polynomial (hole ice, GetIceCubeDOMAngularSensitivity.py:36-45) into
+    # the deposited weight at propagation time, where the photon direction
+    # is still known -- the record-free differentiable path then carries the
+    # same angular factor the accept/reject path applies per photon
+    # (I3PhotonToMCPEConverter.cxx:466-475).  Static tuple of poly coeffs
+    # in cos(eta); None disables.
+    expected_angular_poly: Optional[tuple] = None
+    pmt_axis: tuple = (0.0, 0.0, -1.0)
 
     @property
     def hist_dt(self) -> float:

@@ -34,7 +34,11 @@ from clsim_tpu.validate.oracle import oracle_propagate
 
 def main():
     n_photons = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    medium, geo, spectra, cfg, steps = _workload(bias=True)
+    # unbiased spectrum: every hit weight is exactly 1, so Poisson z-scores
+    # are valid.  (With the bias on, weights are heavy-tailed ~1/bias and a
+    # per-bin z needs full sum(w^2) error propagation; the bias-unfolding
+    # contract is covered by robust quantiles in tests/test_oracle.py.)
+    medium, geo, spectra, cfg, steps = _workload(bias=False)
     n_steps = steps.x.shape[0]
     pps = max(1, n_photons // n_steps)
     steps = steps._replace(num_photons=np.full(n_steps, pps, np.int32))

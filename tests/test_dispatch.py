@@ -57,6 +57,6 @@ def test_engine_backend_accepts_key_and_seed():
 
 
 def test_pick_block_lanes():
-    assert _pick_block_lanes(262144) == 2048
+    assert _pick_block_lanes(262144) == 8192
     assert _pick_block_lanes(1024 * 3) == 1024
     assert _pick_block_lanes(100) is None

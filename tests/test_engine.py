@@ -310,6 +310,26 @@ class TestDifferentiability:
             results[est] = float(res.weight_hits) / float(res.n_generated)
         assert results["expected"] == pytest.approx(results["detect"], rel=0.05)
 
+    def test_expected_estimator_folds_angular_acceptance(self):
+        """expected_angular_poly scales the deposited weight by the DOM
+        angular acceptance at the photon direction, matching the per-record
+        factor in I3PhotonToMCPEConverter.cxx:466-475.  A constant poly must
+        scale weight_hits exactly; (1,) must be a no-op."""
+        d = 40.0
+        geo = _one_dom_geometry(x=d, oversize=5.0)
+        spectra = _spectra()
+        key = jnp.asarray([0, 44], jnp.uint32)
+        medium = make_homogeneous_ice(b400=1e-9, a_dust400=0.02)
+        out = {}
+        for poly in [None, (1.0,), (0.25,)]:
+            cfg = PropagationConfig(n_slots=512, estimator="expected",
+                                    expected_angular_poly=poly)
+            steps = _beam_steps(cfg.n_slots, 32)
+            res = propagate(steps, medium, geo, spectra, key, cfg)
+            out[poly] = float(res.weight_hits)
+        assert out[(1.0,)] == pytest.approx(out[None], rel=1e-6)
+        assert out[(0.25,)] == pytest.approx(0.25 * out[None], rel=1e-5)
+
 
 class TestSaveAllPhotons:
     def test_records_absorption_points(self):
