@@ -1366,6 +1366,7 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
                     repack: bool = True,
                     uniforms=None,
                     interpret: bool = False,
+                    allow_uniform_replay: bool = False,
                     ablate: str = "") -> PropagationResult:
     """Drive the fused kernel until all photons are drained.
 
@@ -1386,10 +1387,11 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
         raise ValueError(f"n_slots {n} must be a multiple of {block_lanes}")
     if iters_per_call % flush_every:
         raise ValueError("iters_per_call must be a multiple of flush_every")
-    if uniforms is not None and max_calls != 1:
+    if uniforms is not None and max_calls != 1 and not allow_uniform_replay:
         raise ValueError("external uniforms (parity mode) require "
                          "max_calls=1: each call would replay the same "
-                         "uniform stream")
+                         "uniform stream (pass allow_uniform_replay=True "
+                         "for conservation tests where that is acceptable)")
     cell_tab, plan = _cell_plan(geo, cfg)
     spec = _build_spec(medium, geo, spectra, cfg, n, iters_per_call,
                        flush_every, queue_rows, block_lanes, splits,

@@ -158,6 +158,56 @@ def test_kernel_deferred_flush_preserves_hits():
                                float(totals[FK.CNT_WSUM]), rtol=1e-5)
 
 
+def test_kernel_drained_blocks_match_engine():
+    """Blocks whose slots carry zero photons drain immediately and take the
+    kernel's per-block early exit (block_live=False); totals and histogram
+    must still match the engine on the same uniform stream."""
+    medium, geo, spectra, cfg, steps, uniforms = _workload()
+    nph = np.asarray(steps.num_photons).copy()
+    nph[:1024] = 0                      # first block (block_lanes=1024) empty
+    steps = steps._replace(num_photons=jnp.asarray(nph))
+    state_e, acc_e = _run_engine_with_uniforms(steps, medium, geo, spectra,
+                                               cfg, uniforms)
+    res_k, totals = _run_kernel(steps, medium, geo, spectra, cfg, uniforms)
+    _compare(acc_e, res_k, totals, geo, cfg)
+
+
+def test_kernel_all_blocks_empty():
+    """A workload with zero photons everywhere exercises the host-side
+    deposit skip (csum[CNT_QUEUED] == 0): the result must be exactly empty,
+    not NaN."""
+    medium, geo, spectra, cfg, steps, uniforms = _workload()
+    steps = steps._replace(num_photons=jnp.zeros(N, jnp.int32))
+    res, totals = _run_kernel(steps, medium, geo, spectra, cfg, uniforms)
+    assert float(totals[FK.CNT_GEN]) == 0.0
+    assert float(totals[FK.CNT_HITS]) == 0.0
+    assert float(totals[FK.CNT_QUEUED]) == 0.0
+    h = np.asarray(res.hist)
+    assert np.isfinite(h).all() and (h == 0).all()
+
+
+def test_kernel_multi_call_drains():
+    """Production mode (multi-call while-loop): the workload must fully
+    drain -- CNT_ALIVE reports abandoned photons (0 when drained) and every
+    recorded hit reaches the queue across calls.  (The pltpu hardware PRNG
+    has no CPU-interpret lowering, so the calls replay one external uniform
+    stream -- fine for conservation checks.)"""
+    medium, geo, spectra, cfg, steps, uniforms = _workload()
+    res, totals = FK.propagate_fused(
+        steps, medium, geo, spectra, seed=5, cfg=cfg,
+        iters_per_call=T, flush_every=4, queue_rows=32,
+        block_lanes=1024, max_calls=64, repack=False, interpret=True,
+        uniforms=uniforms, allow_uniform_replay=True)
+    assert float(totals[FK.CNT_GEN]) == float(np.asarray(
+        steps.num_photons).sum())
+    assert float(totals[FK.CNT_ALIVE]) == 0.0          # drained, not abandoned
+    assert float(totals[FK.CNT_DROPPED]) == 0.0
+    assert float(totals[FK.CNT_QUEUED]) == float(totals[FK.CNT_HITS])
+    np.testing.assert_allclose(float(jnp.sum(res.hist)),
+                               float(totals[FK.CNT_WSUM]), rtol=1e-5)
+    assert float(totals[FK.CNT_HITS]) > 20
+
+
 def test_fused_supported_gates():
     medium, geo, spectra, cfg, steps, uniforms = _workload()
     assert FK.fused_supported(medium, spectra, cfg) is None
