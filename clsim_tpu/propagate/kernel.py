@@ -38,10 +38,10 @@ relay):
 
 Supported (static) configuration: icecube-family media (incl. the
 separable-table photonics kind via tabulated factors is NOT yet wired --
-engine fallback), single spectrum, "detect" estimator with
-stop_on_detection, hard binning, no photon records.  `fused_supported()`
-reports whether a config can take this path; api/bench fall back to the
-engine otherwise.
+engine fallback), any number of stacked spectra (flasher source_type
+dispatch), "detect" estimator with stop_on_detection, hard binning, no
+photon records.  `fused_supported()` reports whether a config can take
+this path; api/bench fall back to the engine otherwise.
 """
 
 from __future__ import annotations
@@ -108,7 +108,11 @@ class FusedSpec(NamedTuple):
     Lpad: int
     Spad: int
     Mpad: int
-    n_spec: int            # spectrum table length
+    n_spec: int            # spectrum table length (per table)
+    n_tables: int          # stacked spectra (1 = Cherenkov only; >1 adds
+                           # flasher spectra dispatched on step.source_type,
+                           # the kernel generateWavelength(sourceType) switch,
+                           # propagation_kernel.c.cl:153-183)
     n_bias: int
     nz_tilt: int           # tilt z-grid points (0 = tilt disabled)
     nd_tilt: int
@@ -293,18 +297,24 @@ def _make_kernel(spec: FusedSpec):
         flat = lambda a: a.reshape(1, BLK)
         tile = lambda a: a.reshape(RB, LANES)
 
-        def sample_wavelength(uw_f):
-            """Single-spectrum inverse-CDF sampling, flat (1, BLK) -> tiled.
+        def sample_wavelength(uw_f, st_f):
+            """Inverse-CDF sampling, flat (1, BLK) -> tiled.
 
             The CDF-segment one-hot is the difference of the monotone
             compare mask with its own shift (last true row == segment), and
             the 5 interpolation columns ride ONE bf16-split MXU fetch
             (inverse-CDF quadratic solve identical to the engine's
             ops/samplers path / I3CLSimRandomValueInterpolatedDistribution
-            .cxx:84-135)."""
-            cmp = acu_col[:, 0:1] <= uw_f                    # (npad, BLK)
+            .cxx:84-135).  With stacked spectra (flashers), each table owns
+            a contiguous row block and rows are masked by the lane's
+            source_type -- the generateWavelength(sourceType) dispatch of
+            propagation_kernel.c.cl:153-183 as one fused compare."""
+            cmp = acu_col[:, 0:1] <= uw_f                    # (rows, BLK)
             nxt = acu_col[:, 1:2] <= uw_f                    # acu[k+1] <= u
-            ohf = (cmp & ~nxt).astype(jnp.bfloat16)          # one-hot @ kseg
+            oh = cmp & ~nxt                                  # one-hot @ kseg
+            if spec.n_tables > 1:
+                oh = oh & (acu_col[:, 2:3] == st_f)
+            ohf = oh.astype(jnp.bfloat16)
             cols = _fetch(co_splits, ohf)                    # (5, BLK)
             args = [tile(cols[c:c + 1]) for c in range(5)]
             return _interp_solve(tile(uw_f), *args)
@@ -442,7 +452,8 @@ def _make_kernel(spec: FusedSpec):
                 if "nospawn" in ablate:
                     new_wlen = jnp.full_like(x, 400.0)
                 else:
-                    new_wlen = sample_wavelength(flat(u[1]))
+                    new_wlen = sample_wavelength(flat(u[1]),
+                                                 flat(stp["source_type"]))
                 wl_um = new_wlen * 1e-3
                 n_phase = poly4(nco, wl_um)
                 n_group = n_phase * poly4(gco, wl_um)
@@ -918,8 +929,6 @@ def fused_supported(medium: MediumProperties, spectra: SpectrumTable,
     the caller must fall back to the engine."""
     if medium.medium_kind != "icecube":
         return f"medium kind {medium.medium_kind!r} (engine only)"
-    if np.asarray(spectra.x).shape[0] != 1:
-        return "multiple spectra (flasher dispatch) not fused yet"
     if cfg.estimator != "detect" or not cfg.stop_on_detection:
         return "only detect+stop_on_detection is fused"
     if cfg.save_photons or cfg.save_all_photons:
@@ -1061,6 +1070,7 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         Spad=-(-S // 8) * 8,
         Mpad=-(-M // 8) * 8,
         n_spec=int(np.asarray(spectra.x).shape[1]),
+        n_tables=int(np.asarray(spectra.x).shape[0]),
         n_bias=int(np.asarray(spectra.bias_x).shape[0]),
         nz_tilt=nz if tilt_enabled else 0,
         nd_tilt=nd,
@@ -1101,23 +1111,29 @@ def _build_tables(spec: FusedSpec, medium: MediumProperties,
     else:
         tilt_tab = jnp.zeros((8, 8), jnp.float32)
 
-    acu = jnp.asarray(spectra.acu[0], jnp.float32)
-    acu_pad = _pad2(acu[:, None], cmult=1, fill=2.0)[:, 0]    # (npad,)
-    # two columns: acu[k] and acu[k+1] -- the CDF-segment one-hot is the
-    # difference of their compare masks (no in-kernel rotate)
-    acu_next = jnp.concatenate([acu_pad[1:],
-                                jnp.full((1,), 2.0, jnp.float32)])
-    acu_col = jnp.stack([acu_pad, acu_next], axis=1)          # (npad, 2)
-    xs = jnp.asarray(spectra.x[0], jnp.float32)
-    beta = jnp.asarray(spectra.beta[0], jnp.float32)
-    co = jnp.stack([xs[:-1], xs[1:], beta[:-1], beta[1:], acu[:-1]],
-                   axis=0)                                    # (5, n-1)
-    # column count must equal the CDF one-hot's row count (npad)
-    npad = acu_col.shape[0]
-    co_tab = jnp.zeros((8, npad), jnp.float32)
-    co_tab = co_tab.at[:5, :spec.n_spec - 1].set(co)
-    # padded segments must keep x1 > x0 (slope denominator)
-    co_tab = co_tab.at[1, spec.n_spec - 1:].set(1.0)
+    # stacked per-source-type spectra: table s owns rows [s*npad, (s+1)*npad)
+    # of the CDF columns and the coefficient table; column 2 carries the
+    # table index for the kernel's source_type row mask
+    npad = -(-spec.n_spec // 8) * 8
+    n = spec.n_spec
+    acu_blocks, co_tab = [], jnp.zeros((8, spec.n_tables * npad), jnp.float32)
+    for s in range(spec.n_tables):
+        acu = jnp.asarray(spectra.acu[s], jnp.float32)
+        acu_pad = _pad2(acu[:, None], rmult=npad, cmult=1, fill=2.0)[:npad, 0]
+        acu_next = jnp.concatenate([acu_pad[1:],
+                                    jnp.full((1,), 2.0, jnp.float32)])
+        spec_id = jnp.full((npad,), float(s), jnp.float32)
+        acu_blocks.append(jnp.stack(
+            [acu_pad, acu_next, spec_id, jnp.zeros((npad,), jnp.float32)],
+            axis=1))                                          # (npad, 4)
+        xs = jnp.asarray(spectra.x[s], jnp.float32)
+        beta = jnp.asarray(spectra.beta[s], jnp.float32)
+        co = jnp.stack([xs[:-1], xs[1:], beta[:-1], beta[1:], acu[:-1]],
+                       axis=0)                                # (5, n-1)
+        co_tab = jax.lax.dynamic_update_slice(co_tab, co, (0, s * npad))
+        # padded segments must keep x1 > x0 (slope denominator)
+        co_tab = co_tab.at[1, s * npad + n - 1:(s + 1) * npad].set(1.0)
+    acu_col = jnp.concatenate(acu_blocks, axis=0)   # (n_tables*npad, 4)
 
     by = jnp.asarray(spectra.bias_y, jnp.float32)
     bias_tab = _pad2(jnp.stack([by[:-1], by[1:]], axis=0))    # (2->8, nbpad)
@@ -1200,8 +1216,8 @@ def _make_call(spec: FusedSpec):
         pl.BlockSpec(memory_space=pltpu.SMEM),            # seed
         fixed((pad8(3 * (2 * spec.K + 1)), spec.Lpad)),   # walk
         fixed(tilt_shape),                                # tilt
-        fixed((pad8(spec.n_spec), 2)),                    # acu
-        fixed((8, pad8(spec.n_spec))),                    # co
+        fixed((spec.n_tables * pad8(spec.n_spec), 4)),    # acu
+        fixed((8, spec.n_tables * pad8(spec.n_spec))),    # co
         fixed((8, pad8(spec.n_bias - 1))),                # bias
         fixed((10 * spec.K_cand, spec.n_cull_cells)),     # cell
         fixed((8, spec.Spad) if spec.affine_doms

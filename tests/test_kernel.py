@@ -158,6 +158,28 @@ def test_kernel_deferred_flush_preserves_hits():
                                float(totals[FK.CNT_WSUM]), rtol=1e-5)
 
 
+def test_kernel_flasher_spectrum_dispatch_matches_engine():
+    """Stacked spectra: half the slots carry flasher steps (source_type=1,
+    LED-like narrow spectrum, no Cherenkov cone) -- the fused kernel's
+    source_type row mask must reproduce the engine's
+    sample_wavelength_dispatch exactly (propagation_kernel.c.cl:153-183)."""
+    from clsim_tpu.ops.spectrum import make_tabulated_spectrum
+    medium, geo, spectra0, cfg, steps, uniforms = _workload(aniso=True,
+                                                            tilt=True)
+    from clsim_tpu.medium.functions import DEFAULT_ICE_REF_INDEX
+    cher = make_cherenkov_spectrum(DEFAULT_ICE_REF_INDEX, 265.0, 675.0)
+    wl = np.linspace(380.0, 430.0, 11)
+    led = make_tabulated_spectrum(wl, np.exp(-0.5 * ((wl - 405) / 10) ** 2))
+    spectra = stack_spectra([cher, led])
+    st = np.zeros(N, np.int32)
+    st[N // 2:] = 1
+    steps = steps._replace(source_type=jnp.asarray(st))
+    state_e, acc_e = _run_engine_with_uniforms(steps, medium, geo, spectra,
+                                               cfg, uniforms)
+    res_k, totals = _run_kernel(steps, medium, geo, spectra, cfg, uniforms)
+    _compare(acc_e, res_k, totals, geo, cfg)
+
+
 def test_kernel_drained_blocks_match_engine():
     """Blocks whose slots carry zero photons drain immediately and take the
     kernel's per-block early exit (block_live=False); totals and histogram
