@@ -88,7 +88,9 @@ NST = len(STEP_FIELDS)
  PF_TILT_Z0, PF_TILT_INV_DZ, PF_TILT_CA, PF_TILT_SA, PF_BIAS_X0,
  PF_BIAS_INV_DX, PF_N0, PF_N1, PF_N2, PF_N3, PF_N4, PF_G0, PF_G1, PF_G2,
  PF_G3, PF_G4) = range(36)
-PF_TILT_D0 = 36
+PF_TILT_D0 = 36        # tilt distance grid: up to 14 entries (36..49)
+PF_WTAB_X0 = 50        # water/photonics wavelength-table grid origin
+PF_WTAB_INV_DX = 51
 PF_LEN = 52
 
 (CNT_GEN, CNT_HITS, CNT_WSUM, CNT_DROPPED, CNT_ALIVE, CNT_QUEUED,
@@ -147,6 +149,17 @@ class FusedSpec(NamedTuple):
     inv_cell: float = 1.0
     cell_nx: int = 1
     cell_ny: int = 1
+    # water ("water") and photonics ("separable_table") media: the separable
+    # wavelength factors gs/pa/qa/ra (and optionally the refractive indices)
+    # come from uniform-grid tables fetched once per spawn instead of the
+    # icecube closed forms (medium/properties.py:119-152)
+    medium_tables: bool = False
+    n_wtab: int = 0            # wavelength-grid points
+    ref_table: bool = False    # phase/group index from the table too
+    # tabulated scattering-angle sampling (Petzold phase function mixed with
+    # Rayleigh -- MakeAntaresMediumProperties.py:44-95); replaces Liu/HG
+    scat_table: bool = False
+    n_scat: int = 0
 
 
 def _split_bf16(tab, n):
@@ -243,12 +256,14 @@ def _make_kernel(spec: FusedSpec):
     def kernel(*refs):
         if spec.external_uniforms:
             (pf_ref, seed_ref, walk_ref, tilt_ref, acu_ref, co_ref,
-             bias_ref, cell_ref, rel_ref, steps_ref, state_ref, uni_ref,
+             bias_ref, wtab_ref, sacu_ref, sco_ref, cell_ref, rel_ref,
+             steps_ref, state_ref, uni_ref,
              state_out, qidx_out, qw_out, cnt_out) = refs
         else:
             uni_ref = None
             (pf_ref, seed_ref, walk_ref, tilt_ref, acu_ref, co_ref,
-             bias_ref, cell_ref, rel_ref, steps_ref, state_ref,
+             bias_ref, wtab_ref, sacu_ref, sco_ref, cell_ref, rel_ref,
+             steps_ref, state_ref,
              state_out, qidx_out, qw_out, cnt_out) = refs
 
         pf = lambda i: pf_ref[i]
@@ -265,10 +280,17 @@ def _make_kernel(spec: FusedSpec):
             rel_splits = _split_bf16(rel_ref[:], spec.splits)  # (4Mp+8, Spad)
         if spec.nz_tilt:
             tilt_splits = _split_bf16(tilt_ref[:], spec.splits)  # (2nd, nzp)
-        acu_col = acu_ref[:]          # (npad, 1)
+        acu_col = acu_ref[:]          # (rows, 4)
         co_splits = _split_bf16(co_ref[:], spec.splits)  # (5, nseg_pad)
         bias_splits = _split_bf16(bias_ref[:], spec.splits)  # (2, nbpad)
         cell_splits = _split_bf16(cell_ref[:], spec.splits)  # (10C, NCp)
+        if spec.medium_tables:
+            wtab_splits = _split_bf16(wtab_ref[:], spec.splits)  # (16, nwp)
+            iota_wtab = jax.lax.broadcasted_iota(
+                jnp.int32, (wtab_ref.shape[1], BLK), 0)
+        if spec.scat_table:
+            sacu_col = sacu_ref[:]                           # (nsp, 4)
+            sco_splits = _split_bf16(sco_ref[:], spec.splits)  # (8, nsp)
         C = spec.K_cand
 
         if not spec.affine_doms:
@@ -454,9 +476,46 @@ def _make_kernel(spec: FusedSpec):
                 else:
                     new_wlen = sample_wavelength(flat(u[1]),
                                                  flat(stp["source_type"]))
-                wl_um = new_wlen * 1e-3
-                n_phase = poly4(nco, wl_um)
-                n_group = n_phase * poly4(gco, wl_um)
+                if spec.medium_tables:
+                    # water / photonics media: separable wavelength factors
+                    # (and optionally n_phase/n_group) from uniform-grid
+                    # tables, one bf16-split MXU fetch for all rows
+                    # (medium/properties.py:119-152)
+                    wxi = (flat(new_wlen) - pf(PF_WTAB_X0)) \
+                        * pf(PF_WTAB_INV_DX)
+                    wk = jnp.clip(jnp.floor(wxi), 0.0,
+                                  float(spec.n_wtab - 2))
+                    wfr = tile(jnp.clip(wxi - wk, 0.0, 1.0))
+                    mw = (iota_wtab == wk.astype(jnp.int32)) \
+                        .astype(jnp.bfloat16)
+                    wrows = _fetch(wtab_splits, mw)          # (16, BLK)
+                    lerp = lambda r: (tile(wrows[r:r + 1])
+                                      + wfr * (tile(wrows[r + 1:r + 2])
+                                               - tile(wrows[r:r + 1])))
+                    n_gs = lerp(0)
+                    n_pa = lerp(2)
+                    n_qa = lerp(4)
+                    n_ra = lerp(6)
+                    if spec.ref_table:
+                        n_phase = lerp(8)
+                        n_group = lerp(10)
+                    else:
+                        wl_um = new_wlen * 1e-3
+                        n_phase = poly4(nco, wl_um)
+                        n_group = n_phase * poly4(gco, wl_um)
+                else:
+                    wl_um = new_wlen * 1e-3
+                    n_phase = poly4(nco, wl_um)
+                    n_group = n_phase * poly4(gco, wl_um)
+                    # per-photon optical coefficients (engine
+                    # medium.scat_coeff / abs_coeffs;
+                    # AbsLenIceCube.cxx:63-67, ScatLenIceCube.cxx:53)
+                    n_gs = (new_wlen / 400.0) ** (-pf(PF_ALPHA))
+                    xkap = new_wlen ** (-pf(PF_KAPPA))
+                    ebx = pf(PF_ABS_A) * jnp.exp(-pf(PF_ABS_B) / new_wlen)
+                    n_pa = pf(PF_ABS_D) * xkap
+                    n_qa = pf(PF_ABS_E) * xkap + ebx
+                    n_ra = 0.01 * ebx
                 cos_c = jnp.minimum(1.0, 1.0 / (stp["beta"] * n_phase))
                 sin_c = jnp.sqrt(jnp.maximum(1.0 - cos_c * cos_c, 0.0))
                 cdx, cdy, cdz = _scatter_dir(cos_c, sin_c, stp["dir_x"],
@@ -466,14 +525,6 @@ def _make_kernel(spec: FusedSpec):
                 ndy = jnp.where(is_cherenkov, cdy, stp["dir_y"])
                 ndz = jnp.where(is_cherenkov, cdz, stp["dir_z"])
                 abs_init = -jnp.log(1.0 - u[3])
-                # per-photon optical coefficients (engine medium.scat_coeff /
-                # abs_coeffs; AbsLenIceCube.cxx:63-67, ScatLenIceCube.cxx:53)
-                n_gs = (new_wlen / 400.0) ** (-pf(PF_ALPHA))
-                xkap = new_wlen ** (-pf(PF_KAPPA))
-                ebx = pf(PF_ABS_A) * jnp.exp(-pf(PF_ABS_B) / new_wlen)
-                n_pa = pf(PF_ABS_D) * xkap
-                n_qa = pf(PF_ABS_E) * xkap + ebx
-                n_ra = 0.01 * ebx
                 # saveHit weight contract (propagation_kernel.c.cl:370):
                 # weight = step.weight / bias(lambda), precomputed per photon
                 if "nobias" in ablate:
@@ -822,15 +873,41 @@ def _make_kernel(spec: FusedSpec):
                 pdx, pdy, pdz = oxp * inv_n, oyp * inv_n, n3_ * inv_n
             else:
                 pdx, pdy, pdz = dx, dy, dz
-            g = pf(PF_MEAN_COS)
-            beta_liu = (1.0 - g) / (1.0 + g)
-            liu = jnp.clip(2.0 * u[6] ** beta_liu - 1.0, -1.0, 1.0)
-            g_safe = jnp.where(jnp.abs(g) < 1e-6, 1e-6, g)
-            svar = 2.0 * u[6] - 1.0
-            frac2 = (1.0 - g_safe * g_safe) / (1.0 + g_safe * svar)
-            hg = (1.0 + g_safe * g_safe - frac2 * frac2) / (2.0 * g_safe)
-            hg = jnp.where(jnp.abs(g) < 1e-6, svar, jnp.clip(hg, -1.0, 1.0))
-            cos_s = jnp.where(u[5] < pf(PF_LIU_FRAC), liu, hg)
+            if spec.scat_table:
+                # water: Rayleigh (closed cubic,
+                # I3CLSimRandomValueRayleighScatteringCosAngle.cxx) mixed
+                # with a tabulated phase-function ANGLE distribution
+                # (engine.py water branch; Petzold tables)
+                br = 0.835
+                pr = 1.0 / br
+                qr = (br + 3.0) * (u[6] - 0.5) / br
+                dr_ = qr * qr + pr * pr * pr
+                sqd = jnp.sqrt(dr_)
+                u1c = -qr + sqd
+                u1c = jnp.sign(u1c) * jnp.abs(u1c) ** (1.0 / 3.0)
+                v1c = -qr - sqd
+                v1c = jnp.sign(v1c) * jnp.abs(v1c) ** (1.0 / 3.0)
+                ray = jnp.clip(u1c + v1c, -1.0, 1.0)
+                us_f = flat(u[6])
+                scmp = sacu_col[:, 0:1] <= us_f
+                snxt = sacu_col[:, 1:2] <= us_f
+                sohf = (scmp & ~snxt).astype(jnp.bfloat16)
+                scols = _fetch(sco_splits, sohf)             # (5, BLK)
+                sargs = [tile(scols[c:c + 1]) for c in range(5)]
+                angle = _interp_solve(tile(us_f), *sargs)
+                cos_s = jnp.where(u[5] < pf(PF_LIU_FRAC), ray,
+                                  jnp.cos(angle))
+            else:
+                g = pf(PF_MEAN_COS)
+                beta_liu = (1.0 - g) / (1.0 + g)
+                liu = jnp.clip(2.0 * u[6] ** beta_liu - 1.0, -1.0, 1.0)
+                g_safe = jnp.where(jnp.abs(g) < 1e-6, 1e-6, g)
+                svar = 2.0 * u[6] - 1.0
+                frac2 = (1.0 - g_safe * g_safe) / (1.0 + g_safe * svar)
+                hg = (1.0 + g_safe * g_safe - frac2 * frac2) / (2.0 * g_safe)
+                hg = jnp.where(jnp.abs(g) < 1e-6, svar,
+                               jnp.clip(hg, -1.0, 1.0))
+                cos_s = jnp.where(u[5] < pf(PF_LIU_FRAC), liu, hg)
             sin_s = jnp.sqrt(jnp.maximum(1.0 - cos_s * cos_s, 0.0))
             sdx2, sdy2, sdz2 = _scatter_dir(cos_s, sin_s, pdx, pdy, pdz, u[7])
             if spec.aniso:
@@ -927,8 +1004,15 @@ def fused_supported(medium: MediumProperties, spectra: SpectrumTable,
                     cfg: PropagationConfig) -> Optional[str]:
     """None if the fused kernel handles this configuration, else the reason
     the caller must fall back to the engine."""
-    if medium.medium_kind != "icecube":
+    if medium.medium_kind not in ("icecube", "water", "separable_table"):
         return f"medium kind {medium.medium_kind!r} (engine only)"
+    if medium.medium_kind == "water" and medium.water_abs_inv is None:
+        return "water medium without wavelength tables"
+    if medium.medium_kind == "separable_table" and medium.fac_qa is None:
+        return "separable-table medium without factor tables"
+    if (medium.scattering.kind != "icecube"
+            and medium.scattering.table_cos is None):
+        return "tabulated scattering distribution without tables"
     if cfg.estimator != "detect" or not cfg.stop_on_detection:
         return "only detect+stop_on_detection is fused"
     if cfg.save_photons or cfg.save_all_photons:
@@ -941,8 +1025,6 @@ def fused_supported(medium: MediumProperties, spectra: SpectrumTable,
     if bx.shape[0] >= 2 and not np.allclose(np.diff(bx), bx[1] - bx[0],
                                             rtol=1e-5):
         return "non-uniform bias grid"
-    if medium.scattering.kind != "icecube":
-        return "tabulated scattering angles not fused"
     return None
 
 
@@ -1084,6 +1166,15 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         n_dom_cand=n_cand,
         spawn_every=1 if external_uniforms else spawn_every,
         n_string_rounds=cfg.strings_per_photon,
+        medium_tables=medium.medium_kind != "icecube",
+        n_wtab=(int(np.asarray(medium.water_abs_inv
+                               if medium.medium_kind == "water"
+                               else medium.fac_qa).shape[0])
+                if medium.medium_kind != "icecube" else 0),
+        ref_table=medium.ref_n_table is not None,
+        scat_table=medium.scattering.kind != "icecube",
+        n_scat=(int(np.asarray(medium.scattering.table_cos).shape[0])
+                if medium.scattering.kind != "icecube" else 0),
         **(plan or {}),
     )
 
@@ -1138,6 +1229,48 @@ def _build_tables(spec: FusedSpec, medium: MediumProperties,
     by = jnp.asarray(spectra.bias_y, jnp.float32)
     bias_tab = _pad2(jnp.stack([by[:-1], by[1:]], axis=0))    # (2->8, nbpad)
 
+    # water/photonics wavelength-factor tables (rows: gs/pa/qa/ra [n g] as
+    # (k, k+1) pairs for the spawn-time lerp fetch)
+    if spec.medium_tables:
+        if medium.medium_kind == "water":
+            zw = jnp.zeros_like(medium.water_abs_inv)
+            facs = [medium.water_scat_inv, zw, medium.water_abs_inv, zw]
+        else:   # separable_table (photonics)
+            facs = [medium.fac_gs, medium.fac_pa, medium.fac_qa,
+                    medium.fac_ra]
+        if spec.ref_table:
+            facs += [medium.ref_n_table, medium.ref_g_table]
+        rows = []
+        for f in facs:
+            f = jnp.asarray(f, jnp.float32)
+            rows += [f[:-1], f[1:]]
+        wtab = _pad2(jnp.stack(rows, axis=0), rmult=16)    # (16, nw-1 pad)
+    else:
+        wtab = jnp.zeros((16, 8), jnp.float32)
+
+    # tabulated scattering-angle CDF (water): same (acu columns + coefficient
+    # rows) layout as the wavelength sampler
+    if spec.scat_table:
+        sx_ = jnp.asarray(medium.scattering.table_cos, jnp.float32)
+        sacu = jnp.asarray(medium.scattering.table_cdf[0], jnp.float32)
+        sbeta = jnp.asarray(medium.scattering.table_cdf[1], jnp.float32)
+        nsp = -(-spec.n_scat // 8) * 8
+        sacu_pad = _pad2(sacu[:, None], rmult=nsp, cmult=1,
+                         fill=2.0)[:nsp, 0]
+        sacu_next = jnp.concatenate([sacu_pad[1:],
+                                     jnp.full((1,), 2.0, jnp.float32)])
+        sacu_col = jnp.stack(
+            [sacu_pad, sacu_next, jnp.zeros((nsp,), jnp.float32),
+             jnp.zeros((nsp,), jnp.float32)], axis=1)
+        sco = jnp.zeros((8, nsp), jnp.float32)
+        sco = jax.lax.dynamic_update_slice(
+            sco, jnp.stack([sx_[:-1], sx_[1:], sbeta[:-1], sbeta[1:],
+                            sacu[:-1]], axis=0), (0, 0))
+        sco = sco.at[1, spec.n_scat - 1:].set(1.0)
+    else:
+        sacu_col = jnp.zeros((8, 4), jnp.float32)
+        sco = jnp.zeros((8, 8), jnp.float32)
+
     S, M, _ = geo.string_dom_rel.shape
     feats = geo.string_features  # (S, 8): x y minz maxz z0 dzf off ndoms
     if spec.affine_doms:
@@ -1151,7 +1284,7 @@ def _build_tables(spec: FusedSpec, medium: MediumProperties,
                 geo.string_dom_rel[:, :, c].T)
         for fi, col in enumerate((0, 1, 4, 5, 6)):
             rel = rel.at[4 * spec.Mpad + fi, :S].set(feats[:, col])
-    return walk, tilt_tab, acu_col, co_tab, bias_tab, rel
+    return walk, tilt_tab, acu_col, co_tab, bias_tab, wtab, sacu_col, sco, rel
 
 
 def _build_pf(medium: MediumProperties, geo: DetectorGeometry,
@@ -1183,11 +1316,17 @@ def _build_pf(medium: MediumProperties, geo: DetectorGeometry,
                      PF_AN_KZ: 1.0 / (k1 * k2)})
     if medium.tilt.enabled:
         tl = medium.tilt
+        if tl.distances.shape[0] > PF_WTAB_X0 - PF_TILT_D0:
+            raise ValueError("tilt distance grid too large for the scalar "
+                             "parameter vector")
         sets.update({PF_TILT_Z0: tl.first_z,
                      PF_TILT_INV_DZ: 1.0 / tl.z_spacing,
                      PF_TILT_CA: tl.azimuth_cos, PF_TILT_SA: tl.azimuth_sin})
         for j in range(tl.distances.shape[0]):
             sets[PF_TILT_D0 + j] = tl.distances[j]
+    if medium.medium_kind != "icecube":
+        sets[PF_WTAB_X0] = medium.water_wlen_first
+        sets[PF_WTAB_INV_DX] = 1.0 / medium.water_wlen_step
     for i in range(5):
         sets[PF_N0 + i] = medium.ref_index.n[i]
         sets[PF_G0 + i] = medium.ref_index.g[i]
@@ -1219,6 +1358,12 @@ def _make_call(spec: FusedSpec):
         fixed((spec.n_tables * pad8(spec.n_spec), 4)),    # acu
         fixed((8, spec.n_tables * pad8(spec.n_spec))),    # co
         fixed((8, pad8(spec.n_bias - 1))),                # bias
+        fixed((16, pad8(spec.n_wtab - 1))
+              if spec.medium_tables else (16, 8)),        # wtab
+        fixed((pad8(spec.n_scat), 4)
+              if spec.scat_table else (8, 4)),            # sacu
+        fixed((8, pad8(spec.n_scat))
+              if spec.scat_table else (8, 8)),            # sco
         fixed((10 * spec.K_cand, spec.n_cull_cells)),     # cell
         fixed((8, spec.Spad) if spec.affine_doms
               else (4 * spec.Mpad + 8, spec.Spad)),       # rel
@@ -1277,7 +1422,8 @@ def _run_fused(steps: StepBatch, medium: MediumProperties,
     call = _make_call(spec)
     tables = _build_tables(spec, medium, geo, spectra, cfg)
     pf = _build_pf(medium, geo, spectra, cfg)
-    walk, tilt_tab, acu_col, co_tab, bias_tab, rel = tables
+    (walk, tilt_tab, acu_col, co_tab, bias_tab, wtab, sacu_col, sco,
+     rel) = tables
 
     steps_packed = pack_state_arrays(
         [getattr(steps, f) for f in STEP_FIELDS], nb, RB)
@@ -1305,7 +1451,7 @@ def _run_fused(steps: StepBatch, medium: MediumProperties,
         seed_arr = (jnp.full((1,), seed, jnp.int32)
                     + call_no.astype(jnp.int32) * 7919)
         args = [pf, seed_arr, walk, tilt_tab, acu_col, co_tab, bias_tab,
-                cell_tab, rel, steps_p, state]
+                wtab, sacu_col, sco, cell_tab, rel, steps_p, state]
         if spec.external_uniforms:
             args.append(uniforms)
         return call(*args)

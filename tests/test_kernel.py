@@ -237,8 +237,30 @@ def test_fused_supported_gates():
     assert FK.fused_supported(medium, spectra, bad) is not None
     bad = dataclasses.replace(cfg, save_photons=True)
     assert FK.fused_supported(medium, spectra, bad) is not None
-    water = medium._replace(medium_kind="water")
-    assert FK.fused_supported(water, spectra, cfg) is not None
+    # a water-kind medium missing its tables must fall back, but a real
+    # water medium (Antares) is fused
+    broken = medium._replace(medium_kind="water")
+    assert FK.fused_supported(broken, spectra, cfg) is not None
+    from clsim_tpu.medium.antares import make_antares_water
+    assert FK.fused_supported(make_antares_water(), spectra, cfg) is None
+
+
+def test_kernel_water_medium_matches_engine():
+    """Antares sea water on the fused path: tabulated wavelength factors
+    (uniform-grid fetch at spawn) + Petzold/Rayleigh tabulated scattering
+    must reproduce the engine on the same uniform stream."""
+    from clsim_tpu.medium.antares import make_antares_water
+    _, geo, _, cfg, steps, uniforms = _workload()
+    medium = make_antares_water()
+    spectra = stack_spectra([make_cherenkov_spectrum(
+        medium.ref_index, medium.min_wlen, medium.max_wlen)])
+    # sea water scatters less per meter than the test ice: use a longer
+    # segment cap so enough photons reach the detector in T iterations
+    cfg = dataclasses.replace(cfg, max_segment_m=120.0)
+    state_e, acc_e = _run_engine_with_uniforms(steps, medium, geo, spectra,
+                                               cfg, uniforms)
+    res_k, totals = _run_kernel(steps, medium, geo, spectra, cfg, uniforms)
+    _compare(acc_e, res_k, totals, geo, cfg)
 
 
 def test_affine_collision_matches_general():
