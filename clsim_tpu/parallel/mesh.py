@@ -80,7 +80,12 @@ class IceFit:
     def __init__(self, mesh: Mesh, cfg: PropagationConfig,
                  geo: DetectorGeometry, spectra: SpectrumTable,
                  learning_rate: float = 1e-3, axis: str = PHOTON_AXIS,
-                 max_iterations: int = 64):
+                 max_iterations: int = 64, forward: str = "engine",
+                 interpret: bool = False):
+        """forward='fused' routes the loss's forward pass through the fused
+        Pallas expected-estimator kernel (propagate/diff.py) -- the engine
+        serves only the VJP.  `interpret` runs the kernel in interpreter
+        mode (CPU tests / dryruns)."""
         self.mesh = mesh
         self.axis = axis
         self.max_iterations = max_iterations
@@ -90,6 +95,8 @@ class IceFit:
         self.geo = geo
         self.spectra = spectra
         self.lr = learning_rate
+        self.forward = forward
+        self.interpret = interpret
         self._step = self._build()
 
     def _build(self):
@@ -99,13 +106,22 @@ class IceFit:
         axis = self.axis
         lr = self.lr
         max_iter = self.max_iterations
+        forward = self.forward
+        interpret = self.interpret
 
         def loss_fn(fit_params, medium, steps, key, target_hist):
             medium = medium._replace(**fit_params)
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-            res = propagate(steps, medium, geo, spectra, key, cfg,
-                            max_iterations=max_iter)
-            hist = jax.lax.psum(res.hist, axis)
+            if forward == "fused":
+                from ..propagate.diff import propagate_expected_diff
+                hist = propagate_expected_diff(
+                    steps, medium, geo, spectra, key, cfg,
+                    n_iterations=max_iter, interpret=interpret)
+            else:
+                res = propagate(steps, medium, geo, spectra, key, cfg,
+                                max_iterations=max_iter)
+                hist = res.hist
+            hist = jax.lax.psum(hist, axis)
             # chi2-style normalized residual
             scale = jnp.maximum(jnp.sum(target_hist), 1.0)
             return jnp.sum((hist - target_hist) ** 2) / scale

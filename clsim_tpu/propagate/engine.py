@@ -421,12 +421,17 @@ def _check_collisions(state: SlotState, geo: DetectorGeometry,
 def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
                medium: MediumProperties, geo: DetectorGeometry,
                spectra: SpectrumTable, cfg: PropagationConfig, key,
-               _ablate: str = ""):
+               _ablate: str = "", uniforms=None):
     # _ablate is a perf-probe hook for scripts/ only (never set on the
     # library path; a stale env var must not be able to change physics in a
     # cached jit, hence an explicit argument instead of os.environ)
     n = state.x.shape[0]
-    u = rng.uniforms(rng.iter_key(key, i), (n,), 8)
+    if uniforms is not None:
+        # externally supplied stream (shared with the fused kernel's parity
+        # / custom_vjp path): (T, 8, N), iteration i consumes row i
+        u = jax.lax.dynamic_index_in_dim(uniforms, i, keepdims=False)
+    else:
+        u = rng.uniforms(rng.iter_key(key, i), (n,), 8)
 
     # --- spawn new photons into empty slots ---
     fresh = (~state.in_flight) & (state.photons_left > 0)
@@ -459,6 +464,11 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
     else:
         d_prop, absorbed, scattered, abs_left = _segment_distances(
             state, medium, cfg, sca_budget, abs_budget)
+    if cfg.estimator == "expected" and cfg.detach_trajectories:
+        # detached sampling (see types.PropagationConfig.detach_trajectories):
+        # the path geometry is treated as a fixed sample; gradients flow
+        # through the optical-depth weights, not through chaotic positions
+        d_prop = jax.lax.stop_gradient(d_prop)
 
     # --- collisions ---
     if "nocollision" in _ablate:
@@ -628,6 +638,10 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
     sin_s = safe_sqrt(1.0 - cos_s * cos_s)
     sdx, sdy, sdz = scatter_direction_by_angle(cos_s, sin_s, pdx, pdy, pdz, u[7])
     sdx, sdy, sdz = post_scatter_transform(medium.anisotropy, sdx, sdy, sdz)
+    if cfg.estimator == "expected" and cfg.detach_trajectories:
+        sdx = jax.lax.stop_gradient(sdx)
+        sdy = jax.lax.stop_gradient(sdy)
+        sdz = jax.lax.stop_gradient(sdz)
 
     if cfg.photon_history_entries > 0:
         # ring-append the scatter point + current depth in absorption lengths
@@ -708,14 +722,20 @@ def _init_acc(n_slots: int, n_doms: int, cfg: PropagationConfig) -> Accumulators
 def propagate(steps: StepBatch, medium: MediumProperties,
               geo: DetectorGeometry, spectra: SpectrumTable,
               key, cfg: PropagationConfig,
-              max_iterations: int = 0, unroll: int = 1) -> PropagationResult:
+              max_iterations: int = 0, unroll: int = 1,
+              uniforms=None) -> PropagationResult:
     """Propagate all photons of a (padded) step batch.
 
     `steps` must already be slot-assigned: exactly one step per slot (use
     sources.assign_steps_to_slots).  With max_iterations == 0 a while_loop
     runs until every slot is drained (forward-only); a positive value runs a
-    reverse-differentiable bounded loop instead.
+    reverse-differentiable bounded loop instead.  `uniforms` (optional,
+    (max_iterations, 8, N)) replaces the internal threefry stream -- the
+    shared-stream contract with the fused kernel's parity and custom_vjp
+    paths.
     """
+    if uniforms is not None and not max_iterations:
+        max_iterations = int(uniforms.shape[0])
     state = _init_state(steps, cfg.photon_history_entries)
     acc = _init_acc(steps.x.shape[0], geo.n_doms, cfg)
 
@@ -729,7 +749,7 @@ def propagate(steps: StepBatch, medium: MediumProperties,
         def fori_body(i, carry):
             state, acc = carry
             state, acc = _iteration(i, state, acc, steps, medium, geo,
-                                    spectra, cfg, key)
+                                    spectra, cfg, key, uniforms=uniforms)
             return (state, acc)
         state, acc = jax.lax.fori_loop(0, max_iterations,
                                        jax.checkpoint(fori_body), (state, acc))

@@ -160,6 +160,16 @@ class FusedSpec(NamedTuple):
     # Rayleigh -- MakeAntaresMediumProperties.py:44-95); replaces Liu/HG
     scat_table: bool = False
     n_scat: int = 0
+    # expected-value estimator (the differentiable path, engine.py:493-516):
+    # photons fly a fixed absorption-length horizon, every DOM crossing
+    # deposits w0 * exp(-optical depth) (times the optional static angular
+    # acceptance polynomial), optionally soft-binned over two time bins;
+    # deposits flush immediately (no pending registers)
+    expected: bool = False
+    soft: bool = False
+    ang_poly: tuple = ()
+    pmt_axis: tuple = (0.0, 0.0, -1.0)
+    horizon: float = 0.0
 
 
 def _split_bf16(tab, n):
@@ -524,7 +534,11 @@ def _make_kernel(spec: FusedSpec):
                 ndx = jnp.where(is_cherenkov, cdx, stp["dir_x"])
                 ndy = jnp.where(is_cherenkov, cdy, stp["dir_y"])
                 ndz = jnp.where(is_cherenkov, cdz, stp["dir_z"])
-                abs_init = -jnp.log(1.0 - u[3])
+                if spec.expected:
+                    # fixed absorption-length horizon (engine.py:150-154)
+                    abs_init = jnp.full_like(x, spec.horizon)
+                else:
+                    abs_init = -jnp.log(1.0 - u[3])
                 # saveHit weight contract (propagation_kernel.c.cl:370):
                 # weight = step.weight / bias(lambda), precomputed per photon
                 if "nobias" in ablate:
@@ -831,25 +845,59 @@ def _make_kernel(spec: FusedSpec):
                 hit_dom = jnp.zeros_like(x)
             hit_act = hit & active
 
-            # stop-on-detection (detect estimator; engine.py:463-470)
-            d_prop = jnp.where(hit_act, hit_dist, d_prop)
-            absorbed = absorbed & ~hit_act
-            scattered = scattered & ~hit_act
-            abs_left_corr = jnp.where(hit_act, 0.0, abs_left_corr)
+            if not spec.expected:
+                # stop-on-detection (detect estimator; engine.py:463-470)
+                d_prop = jnp.where(hit_act, hit_dist, d_prop)
+                absorbed = absorbed & ~hit_act
+                scattered = scattered & ~hit_act
+                abs_left_corr = jnp.where(hit_act, 0.0, abs_left_corr)
 
             # ---------- record (saveHit weight contract, kernel:370) -------
             # w0 = step.weight / bias(lambda) was precomputed at spawn
             w_hit = jnp.where(hit_act, w0, 0.0)
+            if spec.expected:
+                # continuous-absorption deposit: survival to the DOM entry
+                # point, linearly interpolated within the segment
+                # (engine.py:493-516); the photon passes through
+                tau_start = spec.horizon - abs_left
+                tau_seg = abs_left - abs_left_corr / abs_corr
+                frac = hit_dist / jnp.maximum(d_prop, 1e-20)
+                w_hit = w_hit * jnp.exp(-(tau_start + frac * tau_seg))
+                if spec.ang_poly:
+                    ax_, ay_, az_ = spec.pmt_axis
+                    cos_eta = jnp.clip(-(dx * ax_ + dy * ay_ + dz * az_),
+                                       -1.0, 1.0)
+                    ang = jnp.zeros_like(cos_eta)
+                    for c_ in reversed(spec.ang_poly):
+                        ang = ang * cos_eta + c_
+                    w_hit = w_hit * jnp.maximum(ang, 0.0)
             t_hit = t + inv_gv * hit_dist
-            tbin = jnp.clip(
-                jnp.floor((t_hit - pf(PF_HIST_T0)) * pf(PF_INV_HIST_DT)),
-                0.0, float(NBINS - 1))
+            tbin_f = (t_hit - pf(PF_HIST_T0)) * pf(PF_INV_HIST_DT)
+            tbin = jnp.clip(jnp.floor(tbin_f), 0.0, float(NBINS - 1))
             flat_idx = hit_dom * float(NBINS) + tbin
             n_hits = n_hits + jnp.sum(hit_act.astype(jnp.float32))
             w_sum = w_sum + jnp.sum(w_hit)
-            # park hits in the pending registers (free: the lane just died)
-            pend_idx = jnp.where(hit_act, flat_idx, pend_idx)
-            pend_w = jnp.where(hit_act, w_hit, pend_w)
+            if spec.expected:
+                # deposits flush immediately: a pass-through photon can hit
+                # again next iteration, so no pending registers
+                if spec.soft:
+                    fr_hi = jnp.clip(tbin_f - jnp.floor(tbin_f), 0.0, 1.0)
+                    lo = jnp.clip(jnp.floor(tbin_f), 0.0, float(NBINS - 1))
+                    hi = jnp.minimum(lo + 1.0, float(NBINS - 1))
+                    _, _, head, n_dropped = flush(
+                        hit_dom * float(NBINS) + lo, w_hit * (1.0 - fr_hi),
+                        head, n_dropped)
+                    _, _, head, n_dropped = flush(
+                        hit_dom * float(NBINS) + hi, w_hit * fr_hi,
+                        head, n_dropped)
+                else:
+                    _, _, head, n_dropped = flush(flat_idx, w_hit,
+                                                  head, n_dropped)
+            else:
+                # park hits in the pending registers (free: the lane just
+                # died under stop-on-detection)
+                pend_idx = jnp.where(hit_act, flat_idx, pend_idx)
+                pend_w = jnp.where(hit_act, w_hit, pend_w)
 
             # ---------- advance ----------
             actf = in_flight
@@ -925,7 +973,9 @@ def _make_kernel(spec: FusedSpec):
             dz = jnp.where(do_scatter, sdz2, dz)
 
             # ---------- retire ----------
-            died = active & (absorbed | (abs_left < EPSILON) | hit_act)
+            died = active & (absorbed | (abs_left < EPSILON))
+            if not spec.expected:
+                died = died | hit_act
             in_flight = jnp.where(died, 0.0, in_flight)
 
             return (photons_left, in_flight, x, y, z, t, dx, dy, dz, w0,
@@ -939,7 +989,9 @@ def _make_kernel(spec: FusedSpec):
                 def inner(ii, c):
                     return body(oi * spec.flush_every + ii, c)
                 carry = jax.lax.fori_loop(0, spec.flush_every, inner, carry)
-                if "noflush" in ablate:
+                if "noflush" in ablate or spec.expected:
+                    # expected mode flushes inline per iteration; the
+                    # pending registers stay zero
                     zero_ = jnp.zeros_like(carry[NSF - 1])
                     pend_idx, pend_w, head, n_dropped = (
                         zero_, zero_, carry[NSF], carry[NSF + 4])
@@ -1013,14 +1065,17 @@ def fused_supported(medium: MediumProperties, spectra: SpectrumTable,
     if (medium.scattering.kind != "icecube"
             and medium.scattering.table_cos is None):
         return "tabulated scattering distribution without tables"
-    if cfg.estimator != "detect" or not cfg.stop_on_detection:
-        return "only detect+stop_on_detection is fused"
+    if cfg.estimator == "detect":
+        if not cfg.stop_on_detection:
+            return "non-stopping detect estimator not fused"
+        if cfg.soft_binning:
+            return "soft binning is fused only with estimator='expected'"
+    elif cfg.estimator != "expected":
+        return f"estimator {cfg.estimator!r} not fused"
     if cfg.save_photons or cfg.save_all_photons:
         return "photon records not fused"
-    if cfg.soft_binning:
-        return "soft binning not fused"
-    if cfg.fixed_abs_lens > 0:
-        return "fixed-absorption-length mode not fused"
+    if cfg.fixed_abs_lens > 0 and cfg.estimator != "expected":
+        return "fixed-absorption-length detect mode not fused"
     bx = np.asarray(spectra.bias_x)
     if bx.shape[0] >= 2 and not np.allclose(np.diff(bx), bx[1] - bx[0],
                                             rtol=1e-5):
@@ -1151,9 +1206,9 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         Lpad=-(-medium.n_layers // 8) * 8,
         Spad=-(-S // 8) * 8,
         Mpad=-(-M // 8) * 8,
-        n_spec=int(np.asarray(spectra.x).shape[1]),
-        n_tables=int(np.asarray(spectra.x).shape[0]),
-        n_bias=int(np.asarray(spectra.bias_x).shape[0]),
+        n_spec=int(np.shape(spectra.x)[1]),
+        n_tables=int(np.shape(spectra.x)[0]),
+        n_bias=int(np.shape(spectra.bias_x)[0]),
         nz_tilt=nz if tilt_enabled else 0,
         nd_tilt=nd,
         aniso=medium.anisotropy.enabled,
@@ -1166,14 +1221,20 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         n_dom_cand=n_cand,
         spawn_every=1 if external_uniforms else spawn_every,
         n_string_rounds=cfg.strings_per_photon,
+        expected=cfg.estimator == "expected",
+        soft=cfg.soft_binning,
+        ang_poly=tuple(cfg.expected_angular_poly or ()),
+        pmt_axis=tuple(cfg.pmt_axis),
+        horizon=(float(cfg.fixed_abs_lens) if cfg.fixed_abs_lens > 0
+                 else 46.0),
         medium_tables=medium.medium_kind != "icecube",
-        n_wtab=(int(np.asarray(medium.water_abs_inv
-                               if medium.medium_kind == "water"
-                               else medium.fac_qa).shape[0])
+        n_wtab=(int(np.shape(medium.water_abs_inv
+                             if medium.medium_kind == "water"
+                             else medium.fac_qa)[0])
                 if medium.medium_kind != "icecube" else 0),
         ref_table=medium.ref_n_table is not None,
         scat_table=medium.scattering.kind != "icecube",
-        n_scat=(int(np.asarray(medium.scattering.table_cos).shape[0])
+        n_scat=(int(np.shape(medium.scattering.table_cos)[0])
                 if medium.scattering.kind != "icecube" else 0),
         **(plan or {}),
     )

@@ -155,6 +155,17 @@ class PropagationConfig:
     # in cos(eta); None disables.
     expected_angular_poly: Optional[tuple] = None
     pmt_axis: tuple = (0.0, 0.0, -1.0)
+    # Detached-sampling gradients (expected estimator only): stop_gradient
+    # the trajectory geometry (segment lengths, hit distances, scattered
+    # directions) so parameter gradients flow through the survival weights
+    # and deposit times only.  Naive pathwise AD through a multiple-
+    # scattering trajectory explodes exponentially with scatter count
+    # (chaotic paths); detached sampling is stable and EXACT for
+    # absorption-side parameters (the expected-estimator trajectory law
+    # does not depend on them, up to the exp(-horizon) cutoff).  Scattering-
+    # parameter gradients omit the sampling-score term (documented bias;
+    # the score-function correction is a planned estimator).
+    detach_trajectories: bool = True
 
     @property
     def hist_dt(self) -> float:

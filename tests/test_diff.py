@@ -1,0 +1,114 @@
+"""Differentiable fast path tests: propagate_expected_diff's primal must
+match the engine's expected estimator on the shared uniform stream, and its
+gradients must match both engine AD and finite differences of the FUSED
+forward (proving primal/gradient consistency, the BASELINE gradient
+contract)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clsim_tpu.geometry import build_geometry, hexagonal_geometry
+from clsim_tpu.medium.functions import DEFAULT_ICE_REF_INDEX
+from clsim_tpu.medium.properties import make_homogeneous_ice
+from clsim_tpu.ops.spectrum import make_cherenkov_spectrum, stack_spectra
+from clsim_tpu.propagate.diff import (make_uniform_stream,
+                                      propagate_expected_diff)
+from clsim_tpu.propagate.engine import propagate
+from clsim_tpu.types import PropagationConfig, StepBatch
+
+N = 512
+T = 12
+
+
+def _setup():
+    medium = make_homogeneous_ice(n_layers=4, z_start=-100.0,
+                                  layer_height=50.0,
+                                  b400=0.03, a_dust400=0.01)
+    geo = hexagonal_geometry(n_rings=1, string_spacing=60.0,
+                             doms_per_string=8, dom_spacing=15.0,
+                             z_top=60.0, oversize=8.0)
+    spectra = stack_spectra([make_cherenkov_spectrum(
+        DEFAULT_ICE_REF_INDEX, 265.0, 675.0)])
+    cfg = PropagationConfig(n_slots=N, estimator="expected",
+                            soft_binning=True, fixed_abs_lens=10.0,
+                            pancake_factor=4.0, hist_t_min=0.0,
+                            hist_t_max=1600.0, hist_n_bins=32,
+                            max_layer_steps=4, max_segment_m=80.0)
+    rr = np.random.default_rng(5)
+    costh = rr.uniform(-1, 1, N)
+    sinth = np.sqrt(1 - costh ** 2)
+    phi = rr.uniform(0, 2 * np.pi, N)
+    steps = StepBatch(
+        x=np.full(N, 5.0, np.float32), y=np.full(N, -2.0, np.float32),
+        z=np.full(N, 8.0, np.float32), t=np.zeros(N, np.float32),
+        dir_x=(sinth * np.cos(phi)).astype(np.float32),
+        dir_y=(sinth * np.sin(phi)).astype(np.float32),
+        dir_z=costh.astype(np.float32),
+        length=np.full(N, 1.0, np.float32),
+        beta=np.ones(N, np.float32),
+        num_photons=np.full(N, 2, np.int32),
+        weight=np.ones(N, np.float32),
+        identifier=np.zeros(N, np.int32),
+        source_type=np.zeros(N, np.int32))
+    steps = StepBatch(*[jnp.asarray(f) for f in steps])
+    return medium, geo, spectra, cfg, steps
+
+
+def test_diff_primal_matches_engine():
+    medium, geo, spectra, cfg, steps = _setup()
+    key = jnp.asarray([0, 9], jnp.uint32)
+    hist_f = propagate_expected_diff(steps, medium, geo, spectra, key, cfg,
+                                     n_iterations=T, interpret=True)
+    uniforms = make_uniform_stream(key, T, N)
+    res_e = propagate(steps, medium, geo, spectra, key, cfg,
+                      max_iterations=T, uniforms=uniforms)
+    he = np.asarray(res_e.hist, np.float64)
+    hf = np.asarray(hist_f, np.float64)
+    assert he.sum() > 1.0, "workload must deposit weight"
+    assert np.abs(he - hf).sum() <= 4e-3 * he.sum()
+
+
+def test_diff_gradient_matches_engine_ad_and_fd():
+    medium, geo, spectra, cfg, steps = _setup()
+    key = jnp.asarray([0, 9], jnp.uint32)
+    uniforms = make_uniform_stream(key, T, N)
+    # random fixed projection makes the scalar sensitive to shape, not just
+    # the total
+    proj = jnp.asarray(np.random.default_rng(2).random(
+        (geo.n_doms, cfg.hist_n_bins)), jnp.float32)
+
+    def loss_fused(a_dust):
+        m = medium._replace(a_dust400=jnp.full(4, a_dust, jnp.float32))
+        h = propagate_expected_diff(steps, m, geo, spectra, key, cfg,
+                                    n_iterations=T, interpret=True)
+        return jnp.sum(h * proj)
+
+    def loss_engine(a_dust):
+        m = medium._replace(a_dust400=jnp.full(4, a_dust, jnp.float32))
+        res = propagate(steps, m, geo, spectra, key, cfg,
+                        max_iterations=T, uniforms=uniforms)
+        return jnp.sum(res.hist * proj)
+
+    a0 = 0.01
+    g_fused = float(jax.grad(loss_fused)(jnp.float32(a0)))
+    g_engine = float(jax.grad(loss_engine)(jnp.float32(a0)))
+    # the custom_vjp backward IS the engine VJP on the same stream
+    assert g_fused == pytest.approx(g_engine, rel=1e-5)
+    eps = 2e-4
+    fd = (float(loss_fused(jnp.float32(a0 + eps)))
+          - float(loss_fused(jnp.float32(a0 - eps)))) / (2 * eps)
+    assert g_fused == pytest.approx(fd, rel=0.02)
+    assert g_fused < 0.0   # more dust -> fewer weighted hits
+
+
+def test_diff_rejects_detect_estimator():
+    medium, geo, spectra, cfg, steps = _setup()
+    bad = dataclasses.replace(cfg, estimator="detect")
+    with pytest.raises(ValueError):
+        propagate_expected_diff(steps, medium, geo, spectra,
+                                jnp.asarray([0, 1], jnp.uint32), bad)

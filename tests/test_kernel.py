@@ -233,7 +233,10 @@ def test_kernel_multi_call_drains():
 def test_fused_supported_gates():
     medium, geo, spectra, cfg, steps, uniforms = _workload()
     assert FK.fused_supported(medium, spectra, cfg) is None
-    bad = dataclasses.replace(cfg, estimator="expected")
+    # the expected estimator is fused now; non-stopping detect is not
+    ok = dataclasses.replace(cfg, estimator="expected", soft_binning=True)
+    assert FK.fused_supported(medium, spectra, ok) is None
+    bad = dataclasses.replace(cfg, stop_on_detection=False)
     assert FK.fused_supported(medium, spectra, bad) is not None
     bad = dataclasses.replace(cfg, save_photons=True)
     assert FK.fused_supported(medium, spectra, bad) is not None
@@ -243,6 +246,33 @@ def test_fused_supported_gates():
     assert FK.fused_supported(broken, spectra, cfg) is not None
     from clsim_tpu.medium.antares import make_antares_water
     assert FK.fused_supported(make_antares_water(), spectra, cfg) is None
+
+
+@pytest.mark.parametrize("soft", [False, True])
+def test_kernel_expected_estimator_matches_engine(soft):
+    """Fused expected-value estimator (the differentiable path): photons fly
+    a fixed horizon and every DOM crossing deposits the survival weight,
+    optionally soft-binned -- must match the engine's estimator='expected'
+    on the same uniform stream (engine.py:493-516)."""
+    medium, geo, spectra, cfg, steps, uniforms = _workload(aniso=True,
+                                                           tilt=True)
+    cfg = dataclasses.replace(cfg, estimator="expected", soft_binning=soft,
+                              expected_angular_poly=(0.3, 0.6),
+                              fixed_abs_lens=8.0)
+    state_e, acc_e = _run_engine_with_uniforms(steps, medium, geo, spectra,
+                                               cfg, uniforms)
+    res_k, totals = _run_kernel(steps, medium, geo, spectra, cfg, uniforms)
+    he = np.asarray(acc_e.hist, np.float64)
+    hk = np.asarray(res_k.hist, np.float64).reshape(-1)
+    assert float(totals[FK.CNT_GEN]) == float(acc_e.n_generated)
+    assert float(acc_e.n_hits) > 20
+    # crossing counts identical; weights agree to bf16 fetch tolerance
+    assert float(totals[FK.CNT_HITS]) == float(acc_e.n_hits)
+    assert float(totals[FK.CNT_DROPPED]) == 0.0
+    np.testing.assert_allclose(float(totals[FK.CNT_WSUM]),
+                               float(acc_e.weight_hits), rtol=2e-3)
+    l1 = np.abs(he - hk).sum()
+    assert l1 <= 4e-3 * he.sum() + 1e-6, (l1, he.sum())
 
 
 def test_kernel_water_medium_matches_engine():
