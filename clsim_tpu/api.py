@@ -52,7 +52,8 @@ class Simulation:
                  use_cascade_extension: bool = True,
                  flasher_spectra: Sequence[WavelengthSpectrum] = (),
                  mesh=None,
-                 backend: str = "auto"):
+                 backend: str = "auto",
+                 propagators: Sequence = None):
         self.medium = medium
         self.geometry = geometry
         self.backend = backend
@@ -89,6 +90,17 @@ class Simulation:
             use_cascade_extension=use_cascade_extension)
         self.flasher_generator = FlasherStepGenerator(cherenkov)
 
+        # conversion queue: propagator plugins (Geant4/PROPOSAL seam;
+        # muon slicing by default) + parameterization matcher list
+        from .sources.convert import (MuonSlicerPropagator, SourceConverter,
+                                      default_parameterizations)
+        if propagators is None:
+            propagators = [MuonSlicerPropagator()]
+        self.source_converter = SourceConverter(
+            default_parameterizations(self.step_generator,
+                                      self.flasher_generator),
+            propagators=propagators)
+
         # MCPE acceptance: evaluated at the *true* DOM radius; dividing the
         # bias (oversized-radius acceptance) back out of the weights leaves
         # the residual ratio <= 1 (I3CLSimMakeHitsFromPhotons.py wiring)
@@ -104,12 +116,12 @@ class Simulation:
     # ------------------------------------------------------------------
     def steps_from_particles(self, particles: Sequence[Particle],
                              rng: np.random.Generator) -> List[StepBatch]:
-        batches = []
-        for ident, p in enumerate(particles):
-            if isinstance(p, FlasherPulse):
-                batches.extend(self.flasher_generator.convert(p, ident, rng))
-            else:
-                batches.extend(self.step_generator.convert(p, ident, rng))
+        """Light sources -> step batches through the conversion queue:
+        propagator plugins first (secondaries re-enqueued), then the
+        parameterization matcher list (sources/convert.py; the
+        I3CLSimLightSourceToStepConverterAsync worker semantics)."""
+        batches = self.source_converter.convert(
+            [(p, ident) for ident, p in enumerate(particles)], rng)
         if not batches:
             return []
         merged = StepBatch.concatenate(

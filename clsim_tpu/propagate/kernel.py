@@ -364,12 +364,13 @@ def _make_kernel(spec: FusedSpec):
             return f0 + bfrac * (f1 - f0)
 
         def tilt_shift(x, y, z):
-            """medium/tilt.tilt_z_shift, two-stage: one-hot over the z grid
-            (the only large axis) fetches zc[d, kz] / zc[d, kz+1] for ALL
-            nd distance columns at once; the small non-uniform distance
-            bracket is then resolved with nd-2 selects.  Replaces the
-            round-1 flat (nd-1)(nz-1)-cell one-hot whose construction cost
-            ~2(nd-1)(nz-1) VPU ops/lane (1248 for spice_lea)."""
+            """medium/tilt.tilt_z_shift, three-stage: a one-hot over GROUPS
+            of 8 z-grid columns (the only large axis) fetches the 8
+            sub-columns of zc[d, kz] / zc[d, kz+1] for ALL nd distance rows
+            in one MXU pass; 8 selects resolve the sub-column; the small
+            non-uniform distance bracket is then resolved with nd-2
+            selects.  The group one-hot shrinks the per-lane compare build
+            from nz-1 rows (~168 for spice_lea) to ceil((nz-1)/8) (~21)."""
             if not spec.nz_tilt:
                 return jnp.zeros_like(z)
             nz_cols = spec.nz_tilt - 1
@@ -378,11 +379,18 @@ def _make_kernel(spec: FusedSpec):
             fz_above = zr - kz
             fz_below = 1.0 - fz_above
             nr = pf(PF_TILT_CA) * x + pf(PF_TILT_SA) * y
+            kz_hi = jnp.floor(kz * 0.125)
+            kz_lo = kz - 8.0 * kz_hi
             iota_tz = jax.lax.broadcasted_iota(
                 jnp.int32, (tilt_splits[0].shape[1], BLK), 0)
-            ohz = (iota_tz == flat(kz).astype(jnp.int32)).astype(jnp.bfloat16)
-            rows = _fetch(tilt_splits, ohz)          # (2 nd, BLK)
-            rows = rows.reshape(rows.shape[0], RB, LANES)
+            ohz = (iota_tz == flat(kz_hi).astype(jnp.int32)) \
+                .astype(jnp.bfloat16)
+            nd2 = 2 * spec.nd_tilt
+            grp = _fetch(tilt_splits, ohz)           # (8*2nd, BLK)
+            grp = grp.reshape(8, nd2, RB, LANES)
+            rows = grp[0]
+            for lo in range(1, 8):
+                rows = jnp.where(kz_lo == float(lo), grp[lo], rows)
             # distance bracket [j-1, j], j in [1, nd-1] (linear extrapolation
             # outside the grid, exactly like medium/tilt.py:52-68)
             j = jnp.ones_like(z)
@@ -449,21 +457,29 @@ def _make_kernel(spec: FusedSpec):
             zero = jnp.zeros_like(pend_w)
             return zero, zero, head, n_dropped
 
-        def body(i, carry):
+        def body(i, carry, spawn_now):
+            """One propagation iteration; `spawn_now` is STATIC -- the spawn
+            phase is scheduled by the loop structure (every spawn_every-th
+            iteration), so non-spawn iterations draw only the 4 uniform rows
+            the budget/scatter phases need and trace no spawn code."""
             (photons_left, in_flight, x, y, z, t, dx, dy, dz, w0, inv_gv,
              abs_left, gsv, pav, qav, rav, pend_idx, pend_w, head, n_gen,
              n_hits, w_sum, n_dropped, n_work) = carry
 
             if spec.external_uniforms:
                 uu = uni_ref[pl.ds(i * 8 * RB, 8 * RB), :]
+                u = [uu[c * RB:(c + 1) * RB, :] for c in range(8)]
             elif "norng" in ablate:
                 uu = jnp.full((8 * RB, LANES), 0.5, jnp.float32)
+                u = [uu[c * RB:(c + 1) * RB, :] for c in range(8)]
             else:
-                bits = pltpu.prng_random_bits((8 * RB, LANES))
+                nrows = 8 if spawn_now else 4
+                bits = pltpu.prng_random_bits((nrows * RB, LANES))
                 bits = pltpu.bitcast(bits, jnp.uint32) >> jnp.uint32(8)
                 uu = pltpu.bitcast(bits, jnp.int32).astype(jnp.float32) \
                     * (2.0 ** -24)
-            u = [uu[c * RB:(c + 1) * RB, :] for c in range(8)]
+                rows = [uu[c * RB:(c + 1) * RB, :] for c in range(nrows)]
+                u = rows if spawn_now else [None] * 4 + rows
 
             # ---------- spawn (createPhotonFromTrack, kernel:132-184) -----
             # All wavelength-derived per-photon constants (group slowness,
@@ -565,11 +581,8 @@ def _make_kernel(spec: FusedSpec):
 
             sp = (photons_left, in_flight, x, y, z, t, dx, dy, dz, w0,
                   inv_gv, abs_left, gsv, pav, qav, rav, n_gen)
-            if spec.spawn_every == 1:
+            if spawn_now:
                 sp = do_spawn(sp)
-            else:
-                sp = jax.lax.cond(i % spec.spawn_every == 0, do_spawn,
-                                  lambda s: s, sp)
             (photons_left, in_flight, x, y, z, t, dx, dy, dz, w0, inv_gv,
              abs_left, gsv, pav, qav, rav, n_gen) = sp
             active = in_flight > 0.5
@@ -986,9 +999,24 @@ def _make_kernel(spec: FusedSpec):
             # flush_every inner iterations, then one unconditional flush
             # (a static structure: no data-dependent control flow needed)
             def live(carry):
-                def inner(ii, c):
-                    return body(oi * spec.flush_every + ii, c)
-                carry = jax.lax.fori_loop(0, spec.flush_every, inner, carry)
+                se = spec.spawn_every
+                if se == 1:
+                    def inner(ii, c):
+                        return body(oi * spec.flush_every + ii, c, True)
+                    carry = jax.lax.fori_loop(0, spec.flush_every, inner,
+                                              carry)
+                else:
+                    # statically scheduled spawn: one spawning iteration,
+                    # then se-1 spawn-free iterations (traced once each)
+                    def group(gi, c):
+                        base = oi * spec.flush_every + gi * se
+                        c = body(base, c, True)
+
+                        def nospawn(k, c2):
+                            return body(base + 1 + k, c2, False)
+                        return jax.lax.fori_loop(0, se - 1, nospawn, c)
+                    carry = jax.lax.fori_loop(0, spec.flush_every // se,
+                                              group, carry)
                 if "noflush" in ablate or spec.expected:
                     # expected mode flushes inline per iteration; the
                     # pending registers stay zero
@@ -1159,8 +1187,12 @@ def _cell_plan(geo: DetectorGeometry, cfg: PropagationConfig):
                 kmax = max(kmax, len(cand))
         Kp = -(-kmax // 8) * 8
         NCp = -(-(nx * ny) // 8) * 8
-        # rough per-lane op model: one-hot build + per-candidate cull math
-        cost = 2 * NCp + 26 * Kp
+        # per-lane op model: one-hot build (NCp compares) + per-candidate
+        # cull math (~26 VPU ops) + the bf16-split MXU fetch, whose row
+        # count quantizes to 128-row tiles (measured: the fetch is a
+        # first-order cost at large Kp*NCp)
+        tiles = -(-10 * Kp // 128)
+        cost = 2 * NCp + 26 * Kp + 6 * tiles * NCp
         if best is None or cost < best[0]:
             best = (cost, cell, nx, ny, lists, Kp, NCp)
     _, cell, nx, ny, lists, Kp, NCp = best
@@ -1255,10 +1287,16 @@ def _build_tables(spec: FusedSpec, medium: MediumProperties,
         p = medium.tilt
         nd, nz = p.z_corrections.shape
         zc = p.z_corrections
-        # (2 nd, nz-1): rows [zc[d, kz], zc[d, kz+1]] per distance column d,
-        # fetched by a kz one-hot over the (only large) z axis
+        # rows [zc[d, kz], zc[d, kz+1]] per distance column d, grouped by 8
+        # z-columns: row (lo*2nd + r) of group column hi holds z-column
+        # hi*8+lo -- fetched by ONE one-hot over the ~(nz-1)/8 groups, the
+        # sub-column resolved with 8 in-kernel selects
         rows = jnp.stack([zc[:, :-1], zc[:, 1:]], axis=1).reshape(
             2 * nd, nz - 1)
+        n_hi = -(-(nz - 1) // 8)
+        rows = jnp.pad(rows, ((0, 0), (0, n_hi * 8 - (nz - 1))))
+        rows = rows.reshape(2 * nd, n_hi, 8).transpose(2, 0, 1).reshape(
+            8 * 2 * nd, n_hi)
         tilt_tab = _pad2(rows)
     else:
         tilt_tab = jnp.zeros((8, 8), jnp.float32)
@@ -1409,7 +1447,7 @@ def _make_call(spec: FusedSpec):
     perblk = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM)
     pad8 = lambda v: -(-v // 8) * 8
-    tilt_shape = ((pad8(2 * spec.nd_tilt), pad8(spec.nz_tilt - 1))
+    tilt_shape = ((8 * 2 * spec.nd_tilt, pad8(-(-(spec.nz_tilt - 1) // 8)))
                   if spec.nz_tilt else (8, 8))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),            # pf
@@ -1610,6 +1648,9 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
         raise ValueError(f"n_slots {n} must be a multiple of {block_lanes}")
     if iters_per_call % flush_every:
         raise ValueError("iters_per_call must be a multiple of flush_every")
+    if uniforms is None and flush_every % spawn_every:
+        raise ValueError("flush_every must be a multiple of spawn_every "
+                         "(static spawn scheduling)")
     if uniforms is not None and max_calls != 1 and not allow_uniform_replay:
         raise ValueError("external uniforms (parity mode) require "
                          "max_calls=1: each call would replay the same "

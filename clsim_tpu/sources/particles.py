@@ -69,6 +69,10 @@ class Particle:
     dir_z: float
     length: float = float("nan")
     is_cascade_segment: bool = False
+    # stochastic losses riding on a track (the I3MCTree parent/daughter
+    # relation): consumed by sources/convert.MuonSlicerPropagator
+    daughters: tuple = ()
+    final_energy: float = 0.0
 
     @staticmethod
     def cascade(ptype, pos, time, energy, zenith, azimuth):
