@@ -86,3 +86,24 @@ def test_ice_fit_step_descends(mesh):
     assert float(loss1) < float(loss0)
     # parameters moved toward the target value 0.01
     assert float(params1["a_dust400"][0]) < 0.013
+
+
+def test_bootstrap_single_process_noop(monkeypatch):
+    """initialize_distributed is a harmless no-op outside a cluster; the
+    per-process step slice covers the global batch exactly once."""
+    from clsim_tpu.parallel import bootstrap
+    for v in ("COORDINATOR_ADDRESS", "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+              "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(v, raising=False)
+    assert bootstrap.initialize_distributed() is False
+    sl = bootstrap.process_step_slice(1024)
+    assert (sl.start, sl.stop) == (0, 1024)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 2)
+    sl = bootstrap.process_step_slice(1024)
+    assert (sl.start, sl.stop) == (512, 768)
+    with pytest.raises(ValueError):
+        bootstrap.process_step_slice(1023)
+    monkeypatch.undo()
+    mesh = bootstrap.global_photon_mesh()
+    assert mesh.devices.size == len(jax.devices())
