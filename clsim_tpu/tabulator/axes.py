@@ -6,6 +6,12 @@ coordinate to a bin via an invertible transform (linear or power-law
 spacing); every axis carries an under- and an overflow bin; the composed
 bin index uses row-major strides.  Index semantics replicate GetIndexCode
 (Axis.cxx:46-59): clamp(floor(scale*invtransform(v) - offset), -1, n) + 1.
+
+Both axes families accept 4 or 5 axes; the optional 5th is the
+receiver-impact-angle cosine (TABULATE_IMPACT_ANGLE,
+spherical_coordinates.c.cl:27-31, 64-75): when present, the tabulator
+replaces the angular-acceptance weight with an explicit impact-angle
+dimension (propagation_kernel.c.cl:245-250).
 """
 
 from __future__ import annotations
@@ -56,27 +62,51 @@ class Axis:
         return self.n_bins + 2
 
 
-class SphericalAxes:
-    """(r, azimuth[deg, folded to 0..180], cos(polar), residual time) axes --
-    the standard photon-table binning (Axes.cxx SphericalAxes)."""
+class _AxesBase:
+    """Shared N-dim plumbing: row-major strides over (n_bins+2)-sized dims,
+    flat indexing (Axes.cxx GetBinIndexFunction)."""
+
+    n_min = 4
+    n_max = 5
 
     def __init__(self, axes: Sequence[Axis]):
-        if len(axes) != 4:
-            raise ValueError("SphericalAxes needs 4 axes (r, az, cosz, t)")
+        if not (self.n_min <= len(axes) <= self.n_max):
+            raise ValueError(
+                f"{type(self).__name__} needs {self.n_min}"
+                f"{'' if self.n_min == self.n_max else f'..{self.n_max}'} axes"
+                f" (got {len(axes)})")
         self.axes = list(axes)
         self.shape = tuple(a.n_total for a in self.axes)
-        strides = [0] * 4
-        strides[3] = 1
-        for i in (2, 1, 0):
+        nd = len(self.axes)
+        strides = [0] * nd
+        strides[nd - 1] = 1
+        for i in range(nd - 2, -1, -1):
             strides[i] = strides[i + 1] * self.shape[i + 1]
         self.strides = tuple(strides)
         self.n_bins = self.strides[0] * self.shape[0]
+
+    @property
+    def n_dim(self) -> int:
+        return len(self.axes)
+
+    @property
+    def impact_angle(self) -> bool:
+        """True when the optional 5th (receiver impact cosine) axis exists."""
+        return len(self.axes) > 4
 
     def flat_index(self, coords):
         idx = 0
         for a, s, c in zip(self.axes, self.strides, coords):
             idx = idx + s * a.bin_index(c)
         return idx
+
+
+class SphericalAxes(_AxesBase):
+    """(r, azimuth[deg, folded to 0..180], cos(polar), residual time
+    [, impact cosine]) axes -- the standard photon-table binning
+    (Axes.cxx SphericalAxes)."""
+
+    kind = "spherical"
 
     def out_of_bounds(self, coords):
         """Photons beyond the radius or time range stop contributing
@@ -96,44 +126,36 @@ class SphericalAxes:
         return vr[:, None, None] * vaz[None, :, None] * vct[None, None, :]
 
 
-def default_spherical_axes(r_max: float = 580.0, t_max: float = 7000.0
-                           ) -> SphericalAxes:
+def default_impact_axis(n_bins: int = 20) -> Axis:
+    """Receiver impact-angle cosine axis (I3CLSimStepToTableConverter
+    preamble, .cxx:187-188; the tablemaker's default is linear in cos)."""
+    return Axis(-1.0, 1.0, n_bins, power=1)
+
+
+def default_spherical_axes(r_max: float = 580.0, t_max: float = 7000.0,
+                           n_impact: int = 0) -> SphericalAxes:
     """The standard photon-table binning used by the reference's tabulator
     segment (python/tablemaker/tabulator.py): power-2 radius, linear azimuth
-    and cos(zenith), power-2 time."""
-    return SphericalAxes([
+    and cos(zenith), power-2 time.  n_impact > 0 appends the optional
+    impact-angle cosine axis (TABULATE_IMPACT_ANGLE)."""
+    axes = [
         Axis(0.0, r_max, 200, power=2),
         Axis(0.0, 180.0, 36, power=1),
         Axis(-1.0, 1.0, 100, power=1),
         Axis(0.0, t_max, 105, power=2),
-    ])
+    ]
+    if n_impact:
+        axes.append(default_impact_axis(n_impact))
+    return SphericalAxes(axes)
 
 
-class CylindricalAxes:
+class CylindricalAxes(_AxesBase):
     """(rho, azimuth[rad, folded to 0..pi], z of closest approach, residual
-    time) axes -- the infinite-muon table binning (Axes.cxx CylindricalAxes,
-    cylindrical_coordinates.c.cl).  The time residual is relative to the
-    geometric Cherenkov cone: t - (l + rho*tan(theta_c))/c."""
+    time[, impact cosine]) axes -- the infinite-muon table binning (Axes.cxx
+    CylindricalAxes, cylindrical_coordinates.c.cl).  The time residual is
+    relative to the geometric Cherenkov cone: t - (l + rho*tan(theta_c))/c."""
 
     kind = "cylindrical"
-
-    def __init__(self, axes: Sequence[Axis]):
-        if len(axes) != 4:
-            raise ValueError("CylindricalAxes needs 4 axes (rho, az, z, t)")
-        self.axes = list(axes)
-        self.shape = tuple(a.n_total for a in self.axes)
-        strides = [0] * 4
-        strides[3] = 1
-        for i in (2, 1, 0):
-            strides[i] = strides[i + 1] * self.shape[i + 1]
-        self.strides = tuple(strides)
-        self.n_bins = self.strides[0] * self.shape[0]
-
-    def flat_index(self, coords):
-        idx = 0
-        for a, s, c in zip(self.axes, self.strides, coords):
-            idx = idx + s * a.bin_index(c)
-        return idx
 
     def out_of_bounds(self, coords):
         """Only the time bound terminates photons for cylindrical tables
@@ -152,16 +174,17 @@ class CylindricalAxes:
         return vr[:, None, None] * vaz[None, :, None] * vz[None, None, :]
 
 
-SphericalAxes.kind = "spherical"
-
-
 def default_cylindrical_axes(rho_max: float = 580.0, t_max: float = 7000.0,
-                             z_half: float = 800.0) -> CylindricalAxes:
+                             z_half: float = 800.0,
+                             n_impact: int = 0) -> CylindricalAxes:
     """The reference's infinite-muon binning
     (python/tablemaker/tabulator.py:631-637)."""
-    return CylindricalAxes([
+    axes = [
         Axis(0.0, rho_max, 100, power=2),
         Axis(0.0, math.pi, 36, power=1),
         Axis(-z_half, z_half, 80, power=1),
         Axis(0.0, t_max, 105, power=2),
-    ])
+    ]
+    if n_impact:
+        axes.append(default_impact_axis(n_impact))
+    return CylindricalAxes(axes)

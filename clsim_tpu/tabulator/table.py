@@ -64,10 +64,14 @@ def make_reference_source(x, y, z, t, zenith, azimuth) -> ReferenceSource:
 
 
 def _cylindrical_coords(px, py, pz, pt, source: ReferenceSource,
-                        min_inv_groupvel, tan_theta_c):
+                        min_inv_groupvel, tan_theta_c, dirp=None):
     """Source-relative (rho, azimuth_rad, z_closest, residual_t) for infinite
     muon tracks (cylindrical_coordinates.c.cl:42-63); the time residual is
-    relative to the geometric Cherenkov cone (l + rho*tan(theta_c))/c."""
+    relative to the geometric Cherenkov cone (l + rho*tan(theta_c))/c.
+
+    `dirp` (optional randomized photon direction) appends the impact-angle
+    cosine against the vector from the nominal Cherenkov emission point to
+    the impact point (cylindrical_coordinates.c.cl:61-75)."""
     from ..constants import C_LIGHT
     rx = px - source.pos[0]
     ry = py - source.pos[1]
@@ -82,13 +86,27 @@ def _cylindrical_coords(px, py, pz, pt, source: ReferenceSource,
     azimuth = jnp.where(rho > 0, jnp.arccos(jnp.clip(cos_az, -1.0, 1.0)), 0.0)
     z_closest = source.pos[2] + l * source.dir[2]
     dt = (pt - source.time) - (l + rho * tan_theta_c) / C_LIGHT
-    return rho, azimuth, z_closest, dt
+    if dirp is None:
+        return rho, azimuth, z_closest, dt
+    lc = l - rho / tan_theta_c
+    cx = rx - lc * source.dir[0]
+    cy = ry - lc * source.dir[1]
+    cz = rz - lc * source.dir[2]
+    cdist = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+    cimp = (dirp[0] * cx + dirp[1] * cy + dirp[2] * cz) \
+        / jnp.maximum(cdist, 1e-20)
+    cimp = jnp.where(cdist > 0, jnp.clip(cimp, -1.0, 1.0), 1.0)
+    return rho, azimuth, z_closest, dt, cimp
 
 
 def _spherical_coords(px, py, pz, pt, source: ReferenceSource,
-                      min_inv_groupvel):
+                      min_inv_groupvel, dirp=None):
     """Source-relative (r, azimuth_deg, cos_polar, residual_t); the azimuth
-    is folded to [0, 180] (spherical_coordinates.c.cl:28-66)."""
+    is folded to [0, 180] (spherical_coordinates.c.cl:28-66).
+
+    `dirp` (optional randomized photon direction) appends the impact-angle
+    cosine against the emitter-to-impact-point vector
+    (spherical_coordinates.c.cl:67-75)."""
     rx = px - source.pos[0]
     ry = py - source.pos[1]
     rz = pz - source.pos[2]
@@ -105,7 +123,22 @@ def _spherical_coords(px, py, pz, pt, source: ReferenceSource,
                         0.0)
     cos_polar = jnp.where(r > 0, l / jnp.maximum(r, 1e-20), 0.0)
     dt = (pt - source.time) - r * min_inv_groupvel
-    return r, azimuth, cos_polar, dt
+    if dirp is None:
+        return r, azimuth, cos_polar, dt
+    cimp = (dirp[0] * rx + dirp[1] * ry + dirp[2] * rz) \
+        / jnp.maximum(r, 1e-20)
+    cimp = jnp.where(r > 0, jnp.clip(cimp, -1.0, 1.0), 1.0)
+    return r, azimuth, cos_polar, dt, cimp
+
+
+def _impact_direction(dx, dy, dz, u_sin, u_az):
+    """Photon direction randomized over the receiver's cross-section:
+    rotate by asin(sqrt(u)) about a uniform azimuth (the 'average over
+    possible DOM positions', spherical_coordinates.c.cl:68-74)."""
+    from ..ops.rotations import scatter_direction_by_angle, safe_sqrt
+    sina = jnp.sqrt(u_sin)
+    cosa = safe_sqrt(1.0 - u_sin)
+    return scatter_direction_by_angle(cosa, sina, dx, dy, dz, u_az)
 
 
 @functools.partial(jax.jit,
@@ -153,10 +186,17 @@ def _tabulate_batch(steps: StepBatch, medium: MediumProperties,
         depth_start = state.abs_lens_initial - state.abs_lens_left
         step_depth = state.abs_lens_left - abs_left
 
-        impact = steps.weight * eval_polynomial(angular_coeffs,
-                                                jnp.clip(state.dz, -1, 1))
+        # with an impact-angle axis the acceptance weight is REPLACED by the
+        # explicit dimension (propagation_kernel.c.cl:245-250)
+        if getattr(axes, "impact_angle", False):
+            impact = steps.weight
+        else:
+            impact = steps.weight * eval_polynomial(angular_coeffs,
+                                                    jnp.clip(state.dz, -1, 1))
 
         # deposit at substeps remainder, remainder+dl, ... < d_prop
+        with_impact = bool(getattr(axes, "impact_angle", False))
+        sub_key = rng.iter_key(rng.iter_key(key, i), 0x1A7B)  # impact draws
         new_remainder = remainder
         for m in range(max_substeps):
             d = remainder + m * step_length
@@ -165,19 +205,24 @@ def _tabulate_batch(steps: StepBatch, medium: MediumProperties,
             py = state.y + d * state.dy
             pz = state.z + d * state.dz
             pt = state.t + d * state.inv_groupvel
+            dirp = None
+            if with_impact:
+                ui = rng.uniforms(rng.iter_key(sub_key, m), (n,), 2)
+                dirp = _impact_direction(state.dx, state.dy, state.dz,
+                                         ui[0], ui[1])
             if getattr(axes, "kind", "spherical") == "cylindrical":
-                r, az, ct, dt = _cylindrical_coords(px, py, pz, pt, source,
-                                                    min_inv_groupvel,
-                                                    tan_theta_c)
+                coords = _cylindrical_coords(px, py, pz, pt, source,
+                                             min_inv_groupvel, tan_theta_c,
+                                             dirp)
             else:
-                r, az, ct, dt = _spherical_coords(px, py, pz, pt, source,
-                                                  min_inv_groupvel)
-            oob = axes.out_of_bounds((r, az, ct, dt))
+                coords = _spherical_coords(px, py, pz, pt, source,
+                                           min_inv_groupvel, dirp)
+            oob = axes.out_of_bounds(coords)
             frac = d / jnp.maximum(d_prop, 1e-20)
             w = jnp.where(in_seg & ~oob,
                           impact * jnp.exp(-(depth_start + frac * step_depth)),
                           0.0)
-            idx = axes.flat_index((r, az, ct, dt))
+            idx = axes.flat_index(coords)
             content = content.at[jnp.clip(idx, 0, axes.n_bins - 1)].add(
                 w, mode="drop")
             # photons that leave the table bounds stop propagating
@@ -284,9 +329,12 @@ def tabulate(step_batches, medium: MediumProperties, spectra: SpectrumTable,
     values = total.reshape(axes.shape)
     vol = axes.bin_volumes()  # (nr, naz, nct) for the inner data bins
     dom_area = PI * dom_radius ** 2
+    # only the first 3 dims are spatial; the time (and optional impact-angle)
+    # dims share each spatial cell's norm (I3CLSimStepToTableConverter
+    # .cxx:513-540 Normalize)
     norm = np.ones(axes.shape[:3])
     norm[1:-1, 1:-1, 1:-1] = vol / (step_length * dom_area)
-    values = values / norm[..., None]
+    values = values / norm.reshape(norm.shape + (1,) * (values.ndim - 3))
 
     header = dict(n_photons=n_photons, step_length=step_length,
                   abs_lens_horizon=abs_lens_horizon, dom_radius=dom_radius,

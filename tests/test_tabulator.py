@@ -160,3 +160,80 @@ def test_fits_roundtrip(tmp_path):
     raw = open(path, "rb").read()
     assert len(raw) % 2880 == 0
     assert raw[:6] == b"SIMPLE"
+
+
+def test_impact_angle_axis():
+    """TABULATE_IMPACT_ANGLE parity (spherical_coordinates.c.cl:27-31,64-75;
+    propagation_kernel.c.cl:245-250): a 5th impact-cosine axis replaces the
+    angular-acceptance weight; on-axis direct light has impact cosine near 1
+    (the randomized receiver normal stays within asin(sqrt(u)) of the photon
+    direction, which points along the emitter->impact vector)."""
+    medium = make_homogeneous_ice(b400=0.005, a_dust400=0.01)
+    spectra = _spectra()
+    cfg = PropagationConfig(n_slots=128, max_segment_m=30.0,
+                            max_layer_steps=6)
+    steps = _beam_steps(cfg.n_slots, 4, direction=(1.0, 0.0, 0.0))
+    source = make_reference_source(0.0, 0.0, 0.0, 0.0,
+                                   zenith=np.pi / 2, azimuth=np.pi)  # +x
+    axes5 = SphericalAxes([
+        Axis(0.0, 200.0, 10, power=2),
+        Axis(0.0, 180.0, 4),
+        Axis(-1.0, 1.0, 6),
+        Axis(0.0, 2000.0, 10, power=2),
+        Axis(-1.0, 1.0, 8),
+    ])
+    assert axes5.impact_angle and axes5.n_dim == 5
+    table = tabulate([steps], medium, spectra, source, seed=7, axes=axes5,
+                     cfg=cfg)
+    vals = table.values
+    assert vals.shape == axes5.shape
+    assert np.isfinite(vals).all() and vals.sum() > 0
+    # impact-cosine marginal of the data bins: weighted toward cos=+1
+    # (impact angle asin(sqrt(u)) has mean cos = 2/3 for isotropic receivers,
+    # and direct on-axis light aligns dir with the emitter->impact vector)
+    prof = vals[1:-1, :, 1:-1, 1:-1, 1:-1].sum(axis=(0, 1, 2, 3))
+    centers = 0.5 * (np.linspace(-1, 1, 9)[:-1] + np.linspace(-1, 1, 9)[1:])
+    mean_cos = (prof * centers).sum() / prof.sum()
+    assert mean_cos > 0.4
+    assert prof[-1] > prof[0]  # forward impacts dominate backward ones
+
+    # the acceptance weight must be ABSENT with the 5th axis: total content
+    # (unnormalized) exceeds the acceptance-weighted 4-axis table's total
+    axes4 = SphericalAxes(axes5.axes[:4])
+    table4 = tabulate([steps], medium, spectra, source, seed=7, axes=axes4,
+                      cfg=cfg)
+    vol = axes4.bin_volumes()
+    dom_area = np.pi * table4.header["dom_radius"] ** 2
+    renorm4 = (table4.values[1:-1, 1:-1, 1:-1] *
+               (vol / (table4.header["step_length"] * dom_area))[..., None])
+    renorm5 = (table.values[1:-1, 1:-1, 1:-1] *
+               (vol / (table.header["step_length"] * dom_area))[..., None, None])
+    assert renorm5.sum() > 1.2 * renorm4.sum()
+
+
+def test_impact_angle_cylindrical():
+    """Cylindrical impact axis (cylindrical_coordinates.c.cl:61-75): the
+    5-axis table builds, bins are finite/populated, shape matches."""
+    from clsim_tpu.tabulator import Axis, CylindricalAxes
+    from clsim_tpu.tabulator.axes import default_cylindrical_axes
+    medium = make_homogeneous_ice(b400=0.005, a_dust400=0.01)
+    spectra = _spectra()
+    cfg = PropagationConfig(n_slots=64, max_segment_m=30.0,
+                            max_layer_steps=6)
+    steps = _beam_steps(cfg.n_slots, 2, direction=(1.0, 0.0, 0.0))
+    source = make_reference_source(0.0, 0.0, 0.0, 0.0,
+                                   zenith=np.pi / 2, azimuth=np.pi)
+    axes = CylindricalAxes([
+        Axis(0.0, 200.0, 10, power=2),
+        Axis(0.0, np.pi, 4),
+        Axis(-200.0, 200.0, 6),
+        Axis(0.0, 2000.0, 10, power=2),
+        Axis(-1.0, 1.0, 6),
+    ])
+    table = tabulate([steps], medium, spectra, source, seed=3, axes=axes,
+                     cfg=cfg)
+    assert table.values.shape == axes.shape
+    assert np.isfinite(table.values).all() and table.values.sum() > 0
+    # defaults helper wires the axis through
+    d5 = default_cylindrical_axes(n_impact=12)
+    assert d5.n_dim == 5 and d5.axes[4].n_bins == 12
