@@ -91,7 +91,10 @@ NST = len(STEP_FIELDS)
 PF_TILT_D0 = 36        # tilt distance grid: up to 14 entries (36..49)
 PF_WTAB_X0 = 50        # water/photonics wavelength-table grid origin
 PF_WTAB_INV_DX = 51
-PF_LEN = 52
+PF_UZ_Z0 = 52          # uniform-z geometry: shared DOM z-grid (z0, dz, nd)
+PF_UZ_DZ = 53          #   -- lets the affine collision path skip 3 of its
+PF_UZ_ND = 54          #   6 per-round winner-feature picks
+PF_LEN = 55
 
 (CNT_GEN, CNT_HITS, CNT_WSUM, CNT_DROPPED, CNT_ALIVE, CNT_QUEUED,
  CNT_WORK) = range(7)
@@ -170,6 +173,8 @@ class FusedSpec(NamedTuple):
     ang_poly: tuple = ()
     pmt_axis: tuple = (0.0, 0.0, -1.0)
     horizon: float = 0.0
+    uniform_z: bool = False    # every string shares (z0, dz, nd): the affine
+                               # path reads them from pf instead of 3 picks
 
 
 def _split_bf16(tab, n):
@@ -293,7 +298,15 @@ def _make_kernel(spec: FusedSpec):
         acu_col = acu_ref[:]          # (rows, 4)
         co_splits = _split_bf16(co_ref[:], spec.splits)  # (5, nseg_pad)
         bias_splits = _split_bf16(bias_ref[:], spec.splits)  # (2, nbpad)
-        cell_splits = _split_bf16(cell_ref[:], spec.splits)  # (10C, NCp)
+        # feature-major cell rows [sx sy minz maxz maxr2 off | z0 dzf nd |
+        # sidx]; uniform-z affine mode needs only the first 6 blocks, the
+        # general path all 10 (the fetch cost scales with rows)
+        if spec.affine_doms:
+            n_cell_feat = 6 if spec.uniform_z else 9
+        else:
+            n_cell_feat = 10
+        cell_splits = _split_bf16(
+            cell_ref[0:n_cell_feat * spec.K_cand, :], spec.splits)
         if spec.medium_tables:
             wtab_splits = _split_bf16(wtab_ref[:], spec.splits)  # (16, nwp)
             iota_wtab = jax.lax.broadcasted_iota(
@@ -379,18 +392,26 @@ def _make_kernel(spec: FusedSpec):
             fz_above = zr - kz
             fz_below = 1.0 - fz_above
             nr = pf(PF_TILT_CA) * x + pf(PF_TILT_SA) * y
-            kz_hi = jnp.floor(kz * 0.125)
-            kz_lo = kz - 8.0 * kz_hi
             iota_tz = jax.lax.broadcasted_iota(
                 jnp.int32, (tilt_splits[0].shape[1], BLK), 0)
-            ohz = (iota_tz == flat(kz_hi).astype(jnp.int32)) \
-                .astype(jnp.bfloat16)
-            nd2 = 2 * spec.nd_tilt
-            grp = _fetch(tilt_splits, ohz)           # (8*2nd, BLK)
-            grp = grp.reshape(8, nd2, RB, LANES)
-            rows = grp[0]
-            for lo in range(1, 8):
-                rows = jnp.where(kz_lo == float(lo), grp[lo], rows)
+            if "tilt2" in ablate:
+                # probe-only two-stage variant: one-hot over the FULL z grid
+                # (nz-1 compare rows), 2nd-row fetch, no sub-column selects
+                ohz = (iota_tz == flat(kz).astype(jnp.int32)) \
+                    .astype(jnp.bfloat16)
+                rows = _fetch(tilt_splits, ohz)      # (2nd, BLK)
+                rows = rows.reshape(rows.shape[0], RB, LANES)
+            else:
+                kz_hi = jnp.floor(kz * 0.125)
+                kz_lo = kz - 8.0 * kz_hi
+                ohz = (iota_tz == flat(kz_hi).astype(jnp.int32)) \
+                    .astype(jnp.bfloat16)
+                nd2 = 2 * spec.nd_tilt
+                grp = _fetch(tilt_splits, ohz)       # (8*2nd, BLK)
+                grp = grp.reshape(8, nd2, RB, LANES)
+                rows = grp[0]
+                for lo in range(1, 8):
+                    rows = jnp.where(kz_lo == float(lo), grp[lo], rows)
             # distance bracket [j-1, j], j in [1, nd-1] (linear extrapolation
             # outside the grid, exactly like medium/tilt.py:52-68)
             j = jnp.ones_like(z)
@@ -434,13 +455,31 @@ def _make_kernel(spec: FusedSpec):
             def _():
                 relpos = pos + col0                          # (1, BLK)
                 iq = jax.lax.broadcasted_iota(jnp.int32, (LANES, BLK), 0)
+                # queue values ride the MXU instead of a cross-lane VPU
+                # reduction: each one-hot row selects EXACTLY ONE lane, so a
+                # bf16 matmul with exact-in-bf16 summands reconstructs w and
+                # idx losslessly (w as a hi+lo split, idx base-128 digits;
+                # every per-row product/sum is a single bf16-representable
+                # value, so the bf16-rounded MXU output is exact)
+                w_hi = fw.astype(jnp.bfloat16)
+                w_lo = (fw - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                i_hi = jnp.floor(fi * (1.0 / 16384.0))
+                rem = fi - i_hi * 16384.0
+                i_mid = jnp.floor(rem * (1.0 / 128.0))
+                i_lo = rem - i_mid * 128.0
+                vals = jnp.concatenate(
+                    [w_hi, w_lo, i_hi.astype(jnp.bfloat16),
+                     i_mid.astype(jnp.bfloat16), i_lo.astype(jnp.bfloat16),
+                     jnp.zeros((3, BLK), jnp.bfloat16)], axis=0)  # (8, BLK)
                 for f in range(spec.flush_rows):
-                    ohf = (iq == flat(relpos - f * LANES).astype(jnp.int32)) \
-                        & (pos >= 0.0)
-                    rw = jnp.sum(jnp.where(ohf, fw, 0.0), axis=1,
-                                 keepdims=True)              # (128, 1)
-                    ri = jnp.sum(jnp.where(ohf, fi, 0.0), axis=1,
-                                 keepdims=True)
+                    ohf = ((iq == flat(relpos - f * LANES).astype(jnp.int32))
+                           & (pos >= 0.0)).astype(jnp.bfloat16)
+                    cols = jax.lax.dot_general(
+                        ohf, vals, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # (128, 8)
+                    rw = cols[:, 0:1] + cols[:, 1:2]
+                    ri = cols[:, 2:3] * 16384.0 + cols[:, 3:4] * 128.0 \
+                        + cols[:, 4:5]
                     packed = jnp.concatenate([rw, ri], axis=1)   # (128, 2)
                     rows2 = jnp.transpose(packed, (1, 0))        # (2, 128)
                     rr = jnp.minimum(row0 + f, spec.queue_rows - 1)
@@ -713,17 +752,19 @@ def _make_kernel(spec: FusedSpec):
 
             ohc = (iota_cells == flat(cell).astype(jnp.int32)) \
                 .astype(jnp.bfloat16)                        # (NCp, BLK)
-            cf = _fetch(cell_splits, ohc)                    # (10C, BLK)
+            cf = _fetch(cell_splits, ohc)                    # (n_feat*C, BLK)
             sxc = cf[0 * C:1 * C]
             syc = cf[1 * C:2 * C]
             minzc = cf[2 * C:3 * C]
             maxzc = cf[3 * C:4 * C]
             maxr2c = cf[4 * C:5 * C]
-            z0c = cf[5 * C:6 * C]
-            dzc = cf[6 * C:7 * C]
-            offc = cf[7 * C:8 * C]
-            ndc = cf[8 * C:9 * C]
-            sic = cf[9 * C:10 * C]
+            offc = cf[5 * C:6 * C]
+            if not (spec.affine_doms and spec.uniform_z):
+                z0c = cf[6 * C:7 * C]
+                dzc = cf[7 * C:8 * C]
+                ndc = cf[8 * C:9 * C]
+            if not spec.affine_doms:
+                sic = cf[9 * C:10 * C]
 
             rx = sxc - fx_                                   # (C, BLK)
             ry = syc - fy_
@@ -766,10 +807,16 @@ def _make_kernel(spec: FusedSpec):
                     mf = mask.astype(jnp.float32)
                     A2 = pick(A2c, mf)
                     Bd = pick(bd2, mf)
-                    fz0 = pick(z0c, mf)
-                    fdzf = pick(dzc, mf)
                     foff = pick(offc, mf)
-                    fnd = pick(ndc, mf)
+                    if spec.uniform_z:
+                        # shared DOM z-grid: scalars replace 3 picks
+                        fz0 = pf(PF_UZ_Z0)
+                        fdzf = pf(PF_UZ_DZ)
+                        fnd = pf(PF_UZ_ND)
+                    else:
+                        fz0 = pick(z0c, mf)
+                        fdzf = pick(dzc, mf)
+                        fnd = pick(ndc, mf)
                     s_ok = tile(jnp.where(mi < BIG, 1.0, 0.0)) > 0.5
                     # segment endpoints in DOM-index space (dz sign-agnostic)
                     inv_dzf = 1.0 / fdzf
@@ -1153,8 +1200,9 @@ def _cell_plan(geo: DetectorGeometry, cfg: PropagationConfig):
     string outside that reach can never pass the point-to-segment test.
 
     Returns (cell_tab, plan): cell_tab is (10*K_cand, NC_pad) f32 with
-    feature-major rows [sx, sy, minz, maxz, maxr2, z0, dzf, off, nd, sidx]
-    per candidate; plan carries the static grid constants for the spec.
+    feature-major rows [sx, sy, minz, maxz, maxr2, off, z0, dzf, nd, sidx]
+    per candidate (optional blocks last so specialized modes can fetch a
+    prefix); plan carries the static grid constants for the spec.
     """
     sx = np.asarray(geo.string_x, np.float64)
     sy = np.asarray(geo.string_y, np.float64)
@@ -1199,16 +1247,16 @@ def _cell_plan(geo: DetectorGeometry, cfg: PropagationConfig):
 
     tab = np.zeros((10 * Kp, NCp), np.float32)
     tab[4 * Kp:5 * Kp, :] = -1.0          # maxr2: padding fails the cull
-    tab[6 * Kp:7 * Kp, :] = 1.0           # dzf: keep index math finite
+    tab[7 * Kp:8 * Kp, :] = 1.0           # dzf: keep index math finite
     tab[8 * Kp:9 * Kp, :] = 1.0           # nd
     tab[9 * Kp:10 * Kp, :] = -1.0         # sidx: padding selects nothing
     maxr2 = np.asarray(geo.string_max_r, np.float64) ** 2
     for ci, cand in enumerate(lists):
         for k, s in enumerate(cand):
             col = [feats[s, 0], feats[s, 1], feats[s, 2], feats[s, 3],
-                   maxr2[s], feats[s, 4],
+                   maxr2[s], feats[s, 6], feats[s, 4],
                    feats[s, 5] if feats[s, 5] != 0.0 else 1.0,
-                   feats[s, 6], feats[s, 7], float(s)]
+                   feats[s, 7], float(s)]
             for f in range(10):
                 tab[f * Kp + k, ci] = col[f]
     plan = dict(n_cull_cells=NCp, K_cand=Kp, cell_x0=gx0, cell_y0=gy0,
@@ -1226,6 +1274,12 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
     nd = int(medium.tilt.distances.shape[0]) if tilt_enabled else 0
     nz = int(medium.tilt.z_corrections.shape[1]) if tilt_enabled else 0
     affine_ok, n_cand = _affine_collision_plan(geo, cfg, ablate)
+    feats_np = np.asarray(geo.string_features)
+    uniform_z = bool(
+        affine_ok
+        and np.ptp(feats_np[:, 4]) == 0.0     # z0
+        and np.ptp(feats_np[:, 5]) == 0.0     # dz
+        and np.ptp(feats_np[:, 7]) == 0.0)    # nd
     return FusedSpec(
         n_blocks=n_slots // block_lanes,
         block_lanes=block_lanes,
@@ -1253,6 +1307,7 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         n_dom_cand=n_cand,
         spawn_every=1 if external_uniforms else spawn_every,
         n_string_rounds=cfg.strings_per_photon,
+        uniform_z=uniform_z,
         expected=cfg.estimator == "expected",
         soft=cfg.soft_binning,
         ang_poly=tuple(cfg.expected_angular_poly or ()),
@@ -1293,11 +1348,14 @@ def _build_tables(spec: FusedSpec, medium: MediumProperties,
         # sub-column resolved with 8 in-kernel selects
         rows = jnp.stack([zc[:, :-1], zc[:, 1:]], axis=1).reshape(
             2 * nd, nz - 1)
-        n_hi = -(-(nz - 1) // 8)
-        rows = jnp.pad(rows, ((0, 0), (0, n_hi * 8 - (nz - 1))))
-        rows = rows.reshape(2 * nd, n_hi, 8).transpose(2, 0, 1).reshape(
-            8 * 2 * nd, n_hi)
-        tilt_tab = _pad2(rows)
+        if "tilt2" in spec.ablate:
+            tilt_tab = _pad2(rows)   # probe-only two-stage layout
+        else:
+            n_hi = -(-(nz - 1) // 8)
+            rows = jnp.pad(rows, ((0, 0), (0, n_hi * 8 - (nz - 1))))
+            rows = rows.reshape(2 * nd, n_hi, 8).transpose(2, 0, 1).reshape(
+                8 * 2 * nd, n_hi)
+            tilt_tab = _pad2(rows)
     else:
         tilt_tab = jnp.zeros((8, 8), jnp.float32)
 
@@ -1404,6 +1462,12 @@ def _build_pf(medium: MediumProperties, geo: DetectorGeometry,
         PF_INV_HIST_DT: 1.0 / cfg.hist_dt,
         PF_BIAS_X0: spectra.bias_x[0],
         PF_BIAS_INV_DX: 1.0 / (spectra.bias_x[1] - spectra.bias_x[0]),
+        # shared DOM z-grid for uniform-z geometries (read only when
+        # spec.uniform_z; harmless otherwise)
+        PF_UZ_Z0: geo.string_features[0, 4],
+        PF_UZ_DZ: jnp.where(geo.string_features[0, 5] != 0.0,
+                            geo.string_features[0, 5], 1.0),
+        PF_UZ_ND: geo.string_features[0, 7],
     }
     if medium.anisotropy.enabled:
         an = medium.anisotropy
@@ -1447,8 +1511,12 @@ def _make_call(spec: FusedSpec):
     perblk = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM)
     pad8 = lambda v: -(-v // 8) * 8
-    tilt_shape = ((8 * 2 * spec.nd_tilt, pad8(-(-(spec.nz_tilt - 1) // 8)))
-                  if spec.nz_tilt else (8, 8))
+    if not spec.nz_tilt:
+        tilt_shape = (8, 8)
+    elif "tilt2" in spec.ablate:
+        tilt_shape = (pad8(2 * spec.nd_tilt), pad8(spec.nz_tilt - 1))
+    else:
+        tilt_shape = (8 * 2 * spec.nd_tilt, pad8(-(-(spec.nz_tilt - 1) // 8)))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),            # pf
         pl.BlockSpec(memory_space=pltpu.SMEM),            # seed
