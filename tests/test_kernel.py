@@ -327,3 +327,44 @@ def test_affine_plan_gates():
     small = dc.replace(cfg, max_segment_m=20.0)
     ok2, n2 = FK._affine_collision_plan(geo, small)
     assert ok2 and n2 < n_cand
+
+
+def test_kernel_nonuniform_z_geometry():
+    """A DeepCore-like geometry (strings with DIFFERENT z0/dz grids) forces
+    spec.uniform_z=False, exercising the per-round z0/dz/nd feature picks the
+    uniform-z fast path skips (kernel affine branch)."""
+    from clsim_tpu.geometry import build_geometry
+
+    medium, geo0, spectra, cfg, steps, uniforms = _workload(seed=19)
+    # 7 strings at the hex positions, but string 0 gets a denser, shifted
+    # DOM ladder (DeepCore infill style)
+    sx = np.asarray(geo0.string_x)
+    sy = np.asarray(geo0.string_y)
+    sids, oids, xs, ys, zs = [], [], [], [], []
+    for si in range(len(sx)):
+        nd = 16 if si == 0 else 12
+        dz = 10.0 if si == 0 else 15.0
+        z0 = 60.0 if si == 0 else 80.0
+        for d in range(nd):
+            sids.append(si)
+            oids.append(d)
+            xs.append(float(sx[si]))
+            ys.append(float(sy[si]))
+            zs.append(z0 - d * dz)
+    geo = build_geometry(sids, oids, xs, ys, zs, oversize=8.0)
+    spec = FK._build_spec(medium, geo, spectra, cfg, N, T, 1, 32, 1024,
+                          2, True, True)
+    assert spec.affine_doms and not spec.uniform_z
+
+    state, acc = _run_engine_with_uniforms(steps, medium, geo, spectra, cfg,
+                                           uniforms)
+    res, totals = _run_kernel(steps, medium, geo, spectra, cfg, uniforms)
+    _compare(acc, res, totals, geo, cfg)
+
+
+def test_kernel_uniform_z_spec():
+    """The stock hex geometry must take the uniform-z pick-free path."""
+    medium, geo, spectra, cfg, steps, uniforms = _workload()
+    spec = FK._build_spec(medium, geo, spectra, cfg, N, T, 1, 32, 1024,
+                          2, True, True)
+    assert spec.affine_doms and spec.uniform_z
