@@ -19,6 +19,55 @@ import numpy as np
 TARGET = 1.0e9  # photons/s/chip (BASELINE.md north star)
 
 
+def icecube86_geometry(oversize: float = 5.0):
+    """IceCube-like 86-string layout: 78 main-array strings on a perturbed
+    125 m hexagonal lattice (60 DOMs, 17 m spacing) plus 8 DeepCore infill
+    strings (denser 7 m ladder at a different depth grid).  Exercises the
+    non-uniform-z collision path the regular hex61 benchmark geometry skips
+    (the reference benchmark runs the real 86-string GCD; this mirrors its
+    irregular structure without shipping detector data)."""
+    from clsim_tpu.geometry import build_geometry
+
+    rng = np.random.default_rng(86)
+    centers = [(0.0, 0.0)]
+    ring = 1
+    while len(centers) < 78:
+        for k in range(6 * ring):
+            side = k // ring
+            step = k % ring
+            a0 = np.pi / 3.0 * side
+            a1 = np.pi / 3.0 * (side + 2)
+            x = ring * np.cos(a0) + step * np.cos(a1)
+            y = ring * np.sin(a0) + step * np.sin(a1)
+            centers.append((x * 125.0, y * 125.0))
+            if len(centers) >= 78:
+                break
+        ring += 1
+    centers = np.asarray(centers) + rng.normal(0.0, 2.0, (78, 2))
+
+    sids, oids, xs, ys, zs = [], [], [], [], []
+    for si, (cx, cy) in enumerate(centers):
+        for d in range(60):
+            sids.append(si)
+            oids.append(d)
+            xs.append(cx)
+            ys.append(cy)
+            zs.append(500.0 - d * 17.0)
+    # DeepCore: 8 strings within ~72 m of the center, 50 DOMs at 7 m
+    # starting deeper (below the dust layer)
+    for k in range(8):
+        a = 2 * np.pi * k / 8.0
+        cx = 72.0 * np.cos(a) if k else 30.0
+        cy = 72.0 * np.sin(a) if k else 10.0
+        for d in range(50):
+            sids.append(78 + k)
+            oids.append(d)
+            xs.append(cx)
+            ys.append(cy)
+            zs.append(-150.0 - d * 7.0)
+    return build_geometry(sids, oids, xs, ys, zs, oversize=oversize)
+
+
 def build_workload(n_slots, photons_per_slot):
     """Pure-numpy workload construction (tiny jnp ops each trigger a remote
     compile through the TPU tunnel; keep setup on the host)."""
@@ -36,9 +85,12 @@ def build_workload(n_slots, photons_per_slot):
         medium = make_homogeneous_ice(n_layers=171, z_start=-855.0,
                                       layer_height=10.0)
 
-    geo = hexagonal_geometry(n_rings=4, string_spacing=125.0,
-                             doms_per_string=60, dom_spacing=17.0,
-                             z_top=500.0, oversize=5.0)
+    if os.environ.get("BENCH_GEO", "hex61") == "ic86":
+        geo = icecube86_geometry(oversize=5.0)
+    else:
+        geo = hexagonal_geometry(n_rings=4, string_spacing=125.0,
+                                 doms_per_string=60, dom_spacing=17.0,
+                                 z_top=500.0, oversize=5.0)
 
     acc = icecube_dom_acceptance(dom_radius=geo.om_radius * geo.oversize,
                                  efficiency=1.0)
