@@ -377,13 +377,12 @@ def _make_kernel(spec: FusedSpec):
             return f0 + bfrac * (f1 - f0)
 
         def tilt_shift(x, y, z):
-            """medium/tilt.tilt_z_shift, three-stage: a one-hot over GROUPS
-            of 8 z-grid columns (the only large axis) fetches the 8
-            sub-columns of zc[d, kz] / zc[d, kz+1] for ALL nd distance rows
-            in one MXU pass; 8 selects resolve the sub-column; the small
-            non-uniform distance bracket is then resolved with nd-2
-            selects.  The group one-hot shrinks the per-lane compare build
-            from nz-1 rows (~168 for spice_lea) to ceil((nz-1)/8) (~21)."""
+            """medium/tilt.tilt_z_shift, two-stage: one-hot over the z grid
+            (the only large axis) fetches zc[d, kz] / zc[d, kz+1] for ALL
+            nd distance columns at once; the small non-uniform distance
+            bracket is then resolved with nd-2 selects.  (A/B-measured 1.5x
+            faster than a three-stage grouped fetch: the sub-column selects
+            cost more VPU than the nz-1-row compare build they replace.)"""
             if not spec.nz_tilt:
                 return jnp.zeros_like(z)
             nz_cols = spec.nz_tilt - 1
@@ -394,24 +393,10 @@ def _make_kernel(spec: FusedSpec):
             nr = pf(PF_TILT_CA) * x + pf(PF_TILT_SA) * y
             iota_tz = jax.lax.broadcasted_iota(
                 jnp.int32, (tilt_splits[0].shape[1], BLK), 0)
-            if "tilt2" in ablate:
-                # probe-only two-stage variant: one-hot over the FULL z grid
-                # (nz-1 compare rows), 2nd-row fetch, no sub-column selects
-                ohz = (iota_tz == flat(kz).astype(jnp.int32)) \
-                    .astype(jnp.bfloat16)
-                rows = _fetch(tilt_splits, ohz)      # (2nd, BLK)
-                rows = rows.reshape(rows.shape[0], RB, LANES)
-            else:
-                kz_hi = jnp.floor(kz * 0.125)
-                kz_lo = kz - 8.0 * kz_hi
-                ohz = (iota_tz == flat(kz_hi).astype(jnp.int32)) \
-                    .astype(jnp.bfloat16)
-                nd2 = 2 * spec.nd_tilt
-                grp = _fetch(tilt_splits, ohz)       # (8*2nd, BLK)
-                grp = grp.reshape(8, nd2, RB, LANES)
-                rows = grp[0]
-                for lo in range(1, 8):
-                    rows = jnp.where(kz_lo == float(lo), grp[lo], rows)
+            ohz = (iota_tz == flat(kz).astype(jnp.int32)) \
+                .astype(jnp.bfloat16)
+            rows = _fetch(tilt_splits, ohz)          # (2nd, BLK)
+            rows = rows.reshape(rows.shape[0], RB, LANES)
             # distance bracket [j-1, j], j in [1, nd-1] (linear extrapolation
             # outside the grid, exactly like medium/tilt.py:52-68)
             j = jnp.ones_like(z)
@@ -1348,14 +1333,7 @@ def _build_tables(spec: FusedSpec, medium: MediumProperties,
         # sub-column resolved with 8 in-kernel selects
         rows = jnp.stack([zc[:, :-1], zc[:, 1:]], axis=1).reshape(
             2 * nd, nz - 1)
-        if "tilt2" in spec.ablate:
-            tilt_tab = _pad2(rows)   # probe-only two-stage layout
-        else:
-            n_hi = -(-(nz - 1) // 8)
-            rows = jnp.pad(rows, ((0, 0), (0, n_hi * 8 - (nz - 1))))
-            rows = rows.reshape(2 * nd, n_hi, 8).transpose(2, 0, 1).reshape(
-                8 * 2 * nd, n_hi)
-            tilt_tab = _pad2(rows)
+        tilt_tab = _pad2(rows)
     else:
         tilt_tab = jnp.zeros((8, 8), jnp.float32)
 
@@ -1511,12 +1489,8 @@ def _make_call(spec: FusedSpec):
     perblk = lambda rows: pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM)
     pad8 = lambda v: -(-v // 8) * 8
-    if not spec.nz_tilt:
-        tilt_shape = (8, 8)
-    elif "tilt2" in spec.ablate:
-        tilt_shape = (pad8(2 * spec.nd_tilt), pad8(spec.nz_tilt - 1))
-    else:
-        tilt_shape = (8 * 2 * spec.nd_tilt, pad8(-(-(spec.nz_tilt - 1) // 8)))
+    tilt_shape = ((pad8(2 * spec.nd_tilt), pad8(spec.nz_tilt - 1))
+                  if spec.nz_tilt else (8, 8))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),            # pf
         pl.BlockSpec(memory_space=pltpu.SMEM),            # seed

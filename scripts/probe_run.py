@@ -36,12 +36,16 @@ def main():
             max_calls=max_calls, ablate=ablate, repack=repack)
         return res, totals
 
+    reps = int(os.environ.get("BENCH_REPS", 3))
     res, totals = run(11)
     float(jnp.sum(totals))  # sync (compile + warm)
-    t0 = time.perf_counter()
-    res, totals = run(13)
-    tot = np.asarray(totals)
-    dt = time.perf_counter() - t0
+    dts = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        res, totals = run(13 + r)
+        tot = np.asarray(totals)
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
     n_iter = float(res.n_iterations)
     n_gen = tot[CNT_GEN]
     print(f"ablate={ablate!r} slots={n_slots} ipc={ipc} blk={blk} "
