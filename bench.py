@@ -106,9 +106,11 @@ def build_workload(n_slots, photons_per_slot):
     # exponential truncation), picked by scripts/sweep_fused.py -- smaller
     # caps shrink the walk window, the DOM-candidate count AND the cell-cull
     # reach, winning ~25% over the 90 m default on this workload
+    seg = float(os.environ.get("BENCH_SEG", 35.0))
     cfg = PropagationConfig(n_slots=n_slots, pancake_factor=5.0,
-                            hist_n_bins=512, max_layer_steps=4,
-                            max_segment_m=35.0,
+                            hist_n_bins=512,
+                            max_layer_steps=max(2, int(np.ceil(seg / 10.0))),
+                            max_segment_m=seg,
                             hit_compact_capacity=4096)
 
     # cascade-like step cloud near the detector center (mirrors the benchmark

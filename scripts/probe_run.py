@@ -23,8 +23,9 @@ def main():
     blk = int(os.environ.get("BENCH_BLK", 8192))
     flush = int(os.environ.get("BENCH_FLUSH", 16))
     ablate = os.environ.get("BENCH_ABLATE", "")
-    repack = bool(int(os.environ.get("BENCH_REPACK", "0")))
+    repack = bool(int(os.environ.get("BENCH_REPACK", "1")))
     max_calls = int(os.environ.get("BENCH_MAXCALLS", 256))
+    spawn_every = int(os.environ.get("BENCH_SPAWN", 4))
 
     medium, geo, spectra, cfg, steps = build_workload(n_slots, photons)
     steps = type(steps)(*[jnp.asarray(f) for f in steps])
@@ -33,7 +34,8 @@ def main():
         res, totals = propagate_fused(
             steps, medium, geo, spectra, seed=seed, cfg=cfg,
             iters_per_call=ipc, flush_every=flush, block_lanes=blk,
-            max_calls=max_calls, ablate=ablate, repack=repack)
+            max_calls=max_calls, ablate=ablate, repack=repack,
+            spawn_every=spawn_every)
         return res, totals
 
     reps = int(os.environ.get("BENCH_REPS", 3))
