@@ -151,13 +151,22 @@ class Simulation:
             if total is None:
                 total = res
             else:
+                dt = (total.diag_totals + res.diag_totals
+                      if total.diag_totals is not None
+                      and res.diag_totals is not None else res.diag_totals)
                 total = PropagationResult(
                     hist=total.hist + res.hist,
                     n_generated=total.n_generated + res.n_generated,
                     n_hits=total.n_hits + res.n_hits,
                     weight_hits=total.weight_hits + res.weight_hits,
                     n_iterations=total.n_iterations + res.n_iterations,
-                    rec_count=res.rec_count, rec=res.rec)
+                    rec_count=res.rec_count, rec=res.rec,
+                    diag_totals=dt)
+        if total is not None and total.diag_totals is not None:
+            # surface dropped/abandoned counts (warns on loss); syncs, but
+            # run_steps is the collection point anyway
+            from .propagate.dispatch import check_diagnostics
+            check_diagnostics(total)
         return total
 
     def simulate(self, particles: Sequence[Particle], seed: int

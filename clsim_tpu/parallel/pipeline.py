@@ -100,6 +100,10 @@ class EventPipeline:
         def harvest(entry):
             ev_id, res, t0 = entry
             hist = np.asarray(res.hist)       # sync point
+            # fused-path loss counters (dropped hits / abandoned photons);
+            # warn loudly -- a production run must not lose data silently
+            from ..propagate.dispatch import check_diagnostics
+            diag = check_diagnostics(res) or {}
             now = time.perf_counter()
             host_t = now - t0
             # device-time estimate from consecutive completion gaps: with a
@@ -125,7 +129,9 @@ class EventPipeline:
                 r.n_hits += float(res.n_hits)
                 r.weight_hits += float(res.weight_hits)
             self.stats.record(float(res.n_generated), float(res.n_hits),
-                              float(res.weight_hits), device_t, host_t)
+                              float(res.weight_hits), device_t, host_t,
+                              n_dropped=diag.get("dropped", 0.0),
+                              n_abandoned=diag.get("abandoned", 0.0))
 
         key = jax.random.PRNGKey(seed)
         batch_counter = 0

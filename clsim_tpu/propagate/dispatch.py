@@ -37,10 +37,14 @@ def _pick_block_lanes(n: int) -> Optional[int]:
 
 def backend_reason(medium: MediumProperties, spectra: SpectrumTable,
                    cfg: PropagationConfig, n_slots: int,
-                   platform: Optional[str] = None) -> Optional[str]:
-    """None if the fused kernel will serve this request, else why not."""
+                   platform: Optional[str] = None,
+                   interpret: bool = False) -> Optional[str]:
+    """None if the fused kernel will serve this request, else why not.
+
+    `interpret` lets the fused path run in Pallas interpreter mode on CPU
+    (tests / debugging)."""
     plat = platform or jax.devices()[0].platform
-    if plat == "cpu":
+    if plat == "cpu" and not interpret:
         return "no TPU present (Pallas-TPU kernel needs a TPU)"
     reason = fused_supported(medium, spectra, cfg)
     if reason:
@@ -48,6 +52,30 @@ def backend_reason(medium: MediumProperties, spectra: SpectrumTable,
     if _pick_block_lanes(n_slots) is None:
         return f"n_slots {n_slots} not a multiple of 128"
     return None
+
+
+def check_diagnostics(res: PropagationResult, raise_on_loss: bool = False):
+    """Validate a fused run's counters (syncs): warn -- or raise -- when
+    hits were dropped (queue overflow) or photons abandoned (max_calls
+    exhausted before the workload drained).  Returns the diagnostics dict
+    (None on the engine path, which can neither drop nor abandon)."""
+    diag = res.diagnostics
+    if diag is None:
+        return None
+    problems = []
+    if diag["dropped"] > 0:
+        problems.append(f"{diag['dropped']:.0f} hits dropped "
+                        "(hit queue overflow; raise queue_rows/flush_every)")
+    if diag["abandoned"] > 0:
+        problems.append(f"{diag['abandoned']:.0f} photons abandoned "
+                        "(max_calls exhausted before draining)")
+    if problems:
+        msg = "fused propagation lost data: " + "; ".join(problems)
+        if raise_on_loss:
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    return diag
 
 
 def propagate_auto(steps: StepBatch, medium: MediumProperties,
@@ -66,7 +94,8 @@ def propagate_auto(steps: StepBatch, medium: MediumProperties,
         raise ValueError(f"unknown backend {backend!r}")
     use_fused = False
     if backend != "engine":
-        reason = backend_reason(medium, spectra, cfg, n)
+        reason = backend_reason(medium, spectra, cfg, n,
+                                interpret=bool(fused_opts.get("interpret")))
         if reason is None:
             use_fused = True
         elif backend == "fused":
@@ -76,9 +105,11 @@ def propagate_auto(steps: StepBatch, medium: MediumProperties,
         seed = (key_or_seed if isinstance(key_or_seed, int)
                 else _seed_from_key(key_or_seed))
         fused_opts.setdefault("block_lanes", _pick_block_lanes(n))
-        res, _ = propagate_fused(steps, medium, geo, spectra, seed, cfg,
-                                 **fused_opts)
-        return res
+        res, totals = propagate_fused(steps, medium, geo, spectra, seed, cfg,
+                                      **fused_opts)
+        # attach (async) so API/pipeline layers can check for dropped or
+        # abandoned photons without forcing a sync here
+        return res._replace(diag_totals=totals)
 
     key = (jnp.asarray([0, key_or_seed], jnp.uint32)
            if isinstance(key_or_seed, int) else key_or_seed)

@@ -113,6 +113,24 @@ class PropagationResult(NamedTuple):
     n_iterations: jnp.ndarray
     rec_count: Optional[jnp.ndarray] = None
     rec: Optional[dict] = None
+    # fused-path diagnostics counter vector (kernel.py CNT_* layout), kept
+    # as a device array so attaching it does not force a host sync (the
+    # pipeline's double buffering depends on async dispatch).  None on the
+    # engine path.  The reference surfaces the same "gave up vs drained"
+    # information through its statistics counters
+    # (I3CLSimStepToPhotonConverterOpenCL.cxx:1625-1637).
+    diag_totals: Optional[jnp.ndarray] = None
+
+    @property
+    def diagnostics(self) -> Optional[dict]:
+        """Host-side dict of the fused counters (syncs the device)."""
+        if self.diag_totals is None:
+            return None
+        import numpy as _np
+        t = _np.asarray(self.diag_totals, _np.float64)
+        return {"generated": t[0], "hits": t[1], "weight_sum": t[2],
+                "dropped": t[3], "abandoned": t[4], "queued": t[5],
+                "work": t[6]}
 
 
 # ---------------------------------------------------------------------------

@@ -60,3 +60,52 @@ def test_pick_block_lanes():
     assert _pick_block_lanes(262144) == 8192
     assert _pick_block_lanes(1024 * 3) == 1024
     assert _pick_block_lanes(100) is None
+
+
+def test_fused_diagnostics_surface_abandoned():
+    """A max_calls=1 fused run that cannot drain must surface abandoned>0
+    through propagate_auto -> PropagationResult.diagnostics and warn at the
+    API layer (round-2 review item: dispatch.py discarded the totals)."""
+    import warnings
+    from clsim_tpu.propagate.dispatch import check_diagnostics
+
+    medium, geo, spectra, steps = _setup(n=256)
+    cfg = PropagationConfig(n_slots=256, max_layer_steps=3)
+    rng = np.random.default_rng(5)
+    uniforms = rng.random((2, 8, 256)).astype(np.float32)
+    res = propagate_auto(steps, medium, geo, spectra, 7, cfg,
+                         backend="fused", interpret=True, max_calls=1,
+                         iters_per_call=2, flush_every=1, spawn_every=1,
+                         block_lanes=256, uniforms=uniforms)
+    diag = res.diagnostics
+    assert diag is not None
+    # 4 photons/slot but only 2 iterations (1 spawn each): at least 2
+    # photons per slot never ran -- the run must report them as abandoned
+    assert diag["abandoned"] > 0
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        check_diagnostics(res)
+    assert any("abandoned" in str(x.message) for x in w)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="abandoned"):
+        check_diagnostics(res, raise_on_loss=True)
+
+
+def test_engine_path_has_no_diagnostics():
+    medium, geo, spectra, steps = _setup(n=256)
+    cfg = PropagationConfig(n_slots=256)
+    res = propagate_auto(steps, medium, geo, spectra, 7, cfg,
+                         backend="engine")
+    assert res.diag_totals is None
+    assert res.diagnostics is None
+    from clsim_tpu.propagate.dispatch import check_diagnostics
+    assert check_diagnostics(res) is None
+
+
+def test_stats_records_loss_counters():
+    from clsim_tpu.util.stats import RunStatistics
+    st = RunStatistics()
+    st.record(100.0, 5.0, 4.0, 0.1, 0.2, n_dropped=3.0, n_abandoned=2.0)
+    d = st.as_dict()
+    assert d["TotalNumHitsDropped"] == 3.0
+    assert d["TotalNumPhotonsAbandoned"] == 2.0
