@@ -1552,12 +1552,13 @@ def unpack_state_array(packed, n_blocks, rb, n_fields):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "spec", "max_calls", "scatter_cap", "repack"))
+    static_argnames=("cfg", "spec", "max_calls", "scatter_cap", "repack",
+                     "balance"))
 def _run_fused(steps: StepBatch, medium: MediumProperties,
                geo: DetectorGeometry, spectra: SpectrumTable, seed,
                cfg: PropagationConfig, spec: FusedSpec,
                max_calls: int, scatter_cap: int, cell_tab=None,
-               uniforms=None, repack: bool = False):
+               uniforms=None, repack: bool = False, balance: bool = True):
     nb = spec.n_blocks
     RB = spec.block_lanes // LANES
     call = _make_call(spec)
@@ -1598,14 +1599,39 @@ def _run_fused(steps: StepBatch, medium: MediumProperties,
         return call(*args)
 
     def do_repack(steps_p, state):
-        """Stable-partition live lanes to the front so drained blocks hit
-        the kernel's per-block early exit (the divergence-control role of
-        the reference's ascending-photon-count bunching,
-        I3CLSimStepStore.h:163-220, applied *during* the run)."""
+        """Rebalance + stable-partition between kernel calls.
+
+        Balance: the k-th busiest lane donates floor(photons_left/2) photons
+        -- and a copy of its step parameters -- to the k-th drained lane, so
+        slot-lifetime variance does not leave lanes idling while others grind
+        through a deep queue (the load-leveling role of the reference's
+        ascending-photon-count bunching, I3CLSimStepStore.h:163-220, made
+        dynamic).  Photons of one step are i.i.d. given the step fields, so
+        splitting a slot's remaining count across two lanes with independent
+        RNG streams is distribution-identical.
+
+        Partition: live lanes to the front so fully-drained blocks hit the
+        kernel's per-block early exit."""
         st = unpack_state_array(state, nb, RB, NSF)       # (NSF, N)
         sp = unpack_state_array(steps_p, nb, RB, NST)     # (NST, N)
-        dead = jnp.where((st[0] > 0.5) | (st[1] > 0.5), 0, 1)
-        perm = jnp.argsort(dead, stable=True)
+        left, inf, pend = st[0], st[1], st[NSF - 1]
+        if balance:
+            dead = (left <= 0.5) & (inf <= 0.5) & (pend <= 0.0)
+            donor = jnp.argsort(-left)                    # busiest first
+            recip = jnp.argsort(jnp.where(dead, 0, 1), stable=True)
+            give = jnp.floor(left[donor] * 0.5)
+            valid = (give >= 1.0) & dead[recip]
+            givev = jnp.where(valid, give, 0.0)
+            left = left.at[donor].add(-givev)
+            left = left.at[recip].add(givev)              # recipients had 0
+            st = st.at[0].set(left)
+            # pair k: recipient lane recip[k] takes donor lane donor[k]'s
+            # step fields (recip is a permutation -> unique-index scatter)
+            moved = jnp.take(sp, donor, axis=1)           # (NST, N)
+            cur = jnp.take(sp, recip, axis=1)
+            sp = sp.at[:, recip].set(jnp.where(valid[None, :], moved, cur))
+        dead2 = jnp.where((left > 0.5) | (inf > 0.5) | (pend > 0.0), 0, 1)
+        perm = jnp.argsort(dead2, stable=True)
         both = jnp.take(jnp.concatenate([st, sp], axis=0), perm, axis=1)
         return (pack_state_arrays(list(both[NSF:]), nb, RB),
                 pack_state_arrays(list(both[:NSF]), nb, RB))
@@ -1667,6 +1693,7 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
                     scatter_cap: int = 8192,
                     spawn_every: int = 4,
                     repack: bool = True,
+                    balance: bool = True,
                     uniforms=None,
                     interpret: bool = False,
                     allow_uniform_replay: bool = False,
@@ -1709,7 +1736,9 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
                              spec, max_calls, scatter_cap,
                              cell_tab=jnp.asarray(cell_tab),
                              uniforms=uniforms,
-                             repack=repack and uniforms is None)
+                             repack=repack and (uniforms is None
+                                                or allow_uniform_replay),
+                             balance=balance)
     return res, totals
 
 

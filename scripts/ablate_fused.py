@@ -29,10 +29,13 @@ def sync(x):
 
 
 def main():
-    n_slots = int(os.environ.get("BENCH_SLOTS", 65536))
+    # T must be large enough that the ~35 ms host/axon-relay overhead per
+    # call is <5% of the measurement (round-2's T=64 default produced
+    # negative stage costs -- pure noise)
+    n_slots = int(os.environ.get("BENCH_SLOTS", 262144))
     photons = int(os.environ.get("BENCH_PHOTONS_PER_SLOT", 60))
-    T = int(os.environ.get("BENCH_IPC", 64))
-    blk = int(os.environ.get("BENCH_BLK", 2048))
+    T = int(os.environ.get("BENCH_IPC", 512))
+    blk = int(os.environ.get("BENCH_BLK", 8192))
     reps = int(os.environ.get("BENCH_REPS", 3))
 
     medium, geo, spectra, cfg, steps = build_workload(n_slots, photons)
@@ -41,8 +44,9 @@ def main():
     def run(ablate, seed):
         res, totals = propagate_fused(
             steps, medium, geo, spectra, seed=seed, cfg=cfg,
-            iters_per_call=T, flush_every=8, queue_rows=32,
-            block_lanes=blk, max_calls=1, ablate=ablate)
+            iters_per_call=T, flush_every=16, queue_rows=32,
+            block_lanes=blk, max_calls=1, spawn_every=4, repack=False,
+            ablate=ablate)
         return totals
 
     base = None
@@ -52,7 +56,7 @@ def main():
         for r in range(reps):
             sync(run(ab, 2 + r)[CNT_GEN])
         dt = (time.perf_counter() - t0) / reps
-        us_per_iter = dt / T * 1e6 * (65536 / n_slots)
+        us_per_iter = dt / T * 1e6 * (262144 / n_slots)
         if ab == "":
             base = us_per_iter
             print(f"{'base':<28} {us_per_iter:8.1f} us/iter", flush=True)

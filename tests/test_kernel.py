@@ -368,3 +368,26 @@ def test_kernel_uniform_z_spec():
     spec = FK._build_spec(medium, geo, spectra, cfg, N, T, 1, 32, 1024,
                           2, True, True)
     assert spec.affine_doms and spec.uniform_z
+
+
+def test_kernel_balance_conserves_and_drains():
+    """Photon balancing at repack (dead lanes steal half the busiest lanes'
+    remaining photons + a copy of their step): total generated photons,
+    hits and queue accounting must be conserved and the run must drain --
+    balancing moves work between lanes, never creates or destroys it."""
+    medium, geo, spectra, cfg, steps, uniforms = _workload()
+    # uneven queue depths: lane i gets 0..8 photons so balancing has work
+    npho = (np.arange(N) % 9).astype(np.int32)
+    steps = steps._replace(num_photons=jnp.asarray(npho))
+    res, totals = FK.propagate_fused(
+        steps, medium, geo, spectra, seed=5, cfg=cfg,
+        iters_per_call=T, flush_every=4, queue_rows=32,
+        block_lanes=1024, max_calls=64, repack=True, balance=True,
+        interpret=True, uniforms=uniforms, allow_uniform_replay=True)
+    assert float(totals[FK.CNT_GEN]) == float(npho.sum())
+    assert float(totals[FK.CNT_ALIVE]) == 0.0
+    assert float(totals[FK.CNT_DROPPED]) == 0.0
+    assert float(totals[FK.CNT_QUEUED]) == float(totals[FK.CNT_HITS])
+    np.testing.assert_allclose(float(jnp.sum(res.hist)),
+                               float(totals[FK.CNT_WSUM]), rtol=1e-5)
+    assert float(totals[FK.CNT_HITS]) > 20
