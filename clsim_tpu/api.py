@@ -63,6 +63,15 @@ class Simulation:
         self.config = cfg
         self.mesh = mesh
 
+        # static collision-approximation check: warn when the top-K
+        # closest-string test can provably shadow hits on this geometry
+        from .geometry import advise_strings_per_photon
+        _, k_reason = advise_strings_per_photon(
+            geometry, cfg.max_segment_m, cfg.strings_per_photon)
+        if k_reason:
+            import warnings
+            warnings.warn(k_reason, UserWarning, stacklevel=2)
+
         # --- wavelength bias (common.py:191-229, I3CLSimMakePhotons.py:389-397)
         if unweighted_photons:
             bias_x = bias_y = None

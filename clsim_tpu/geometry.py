@@ -272,3 +272,51 @@ def hexagonal_geometry(n_rings: int = 3, string_spacing: float = 125.0,
             zs.append(z_top - d * dom_spacing)
     return build_geometry(sids, oids, xs, ys, zs,
                           om_radius=om_radius, oversize=oversize)
+
+
+def advise_strings_per_photon(geo: DetectorGeometry, max_segment_m: float,
+                              configured: int = 2):
+    """Static geometry check for the top-K closest-string collision
+    approximation (cfg.strings_per_photon).
+
+    The reference tests EVERY culled string
+    (sparse_collision_kernel.c.cl:462-587); we rank candidates by 2-D
+    axis distance and test only the K closest.  That is exact whenever a
+    closer string that overlaps the photon's z-range cannot "shadow" a
+    farther true hit -- but with *heterogeneous* z-coverage (DeepCore-style
+    infill, partial strings) a near string can pass the 2-D cull while
+    having no DOMs anywhere near the photon's z, pushing the true hit to
+    rank K+1.
+
+    Returns (recommended_K, reason_or_None).  Heuristic: K=2 suffices for
+    homogeneous z-coverage; with heterogeneous coverage recommend
+    min(max co-reachable string count, 4).
+    """
+    sx = np.asarray(geo.string_x, np.float64)
+    sy = np.asarray(geo.string_y, np.float64)
+    minz = np.asarray(geo.string_min_z, np.float64)
+    maxz = np.asarray(geo.string_max_z, np.float64)
+    reach = float(max_segment_m) + np.asarray(geo.string_max_r,
+                                              np.float64).max()
+    d2 = (sx[:, None] - sx[None, :]) ** 2 + (sy[:, None] - sy[None, :]) ** 2
+    near = d2 <= reach * reach
+    co_reach = int(near.sum(axis=1).max())
+    # provable shadowing risk: two co-reachable strings whose DOM z-ranges
+    # are disjoint (beyond the collision radius) -- a photon in one range
+    # can rank the other string first yet never hit it
+    rcol = float(geo.om_radius) * float(geo.oversize)
+    gap = np.maximum(minz[:, None] - maxz[None, :],
+                     minz[None, :] - maxz[:, None])
+    hetero = bool((near & (gap > rcol)).any())
+    if not hetero:
+        return max(2, min(configured, co_reach)), None
+    rec = min(max(3, configured), co_reach, 4)
+    reason = None
+    if configured < rec:
+        reason = (
+            f"geometry has heterogeneous string z-coverage "
+            f"(min_z spread {np.ptp(minz):.0f} m, max_z spread "
+            f"{np.ptp(maxz):.0f} m) and up to {co_reach} strings reachable "
+            f"per segment; strings_per_photon={configured} can miss hits "
+            f"shadowed by DOM-free near strings -- recommend >= {rec}")
+    return rec, reason

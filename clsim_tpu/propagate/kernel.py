@@ -627,6 +627,10 @@ def _make_kernel(spec: FusedSpec):
                 abs_corr = jnp.ones_like(dx)
             sca_budget = -jnp.log(1.0 - u[4])
             abs_budget = abs_left * abs_corr
+            if "nobudget" in ablate:   # static: aniso/budget math dead
+                abs_corr = jnp.ones_like(dx)
+                sca_budget = jnp.full_like(dx, 0.7)
+                abs_budget = abs_left
 
             # ---------- tilt + layer walk (kernel:598-696) -----------------
             shift_z = (jnp.zeros_like(z) if "notilt" in ablate
@@ -920,6 +924,8 @@ def _make_kernel(spec: FusedSpec):
             tbin_f = (t_hit - pf(PF_HIST_T0)) * pf(PF_INV_HIST_DT)
             tbin = jnp.clip(jnp.floor(tbin_f), 0.0, float(NBINS - 1))
             flat_idx = hit_dom * float(NBINS) + tbin
+            if "nohist" in ablate:     # static: bin-index math dead
+                flat_idx = jnp.zeros_like(x)
             n_hits = n_hits + jnp.sum(hit_act.astype(jnp.float32))
             w_sum = w_sum + jnp.sum(w_hit)
             if spec.expected:
@@ -946,11 +952,13 @@ def _make_kernel(spec: FusedSpec):
 
             # ---------- advance ----------
             actf = in_flight
-            x = x + actf * dx * d_prop
-            y = y + actf * dy * d_prop
-            z = z + actf * dz * d_prop
-            t = t + actf * inv_gv * d_prop
-            abs_left = jnp.where(active, abs_left_corr / abs_corr, abs_left)
+            if "noadvance" not in ablate:
+                x = x + actf * dx * d_prop
+                y = y + actf * dy * d_prop
+                z = z + actf * dz * d_prop
+                t = t + actf * inv_gv * d_prop
+                abs_left = jnp.where(active, abs_left_corr / abs_corr,
+                                     abs_left)
             # pre-retire activity: a photon's final segment counts as work
             n_work = n_work + jnp.sum(actf)
 
@@ -1615,23 +1623,38 @@ def _run_fused(steps: StepBatch, medium: MediumProperties,
         st = unpack_state_array(state, nb, RB, NSF)       # (NSF, N)
         sp = unpack_state_array(steps_p, nb, RB, NST)     # (NST, N)
         left, inf, pend = st[0], st[1], st[NSF - 1]
+        N = left.shape[0]
+        iota = jnp.arange(N, dtype=jnp.int32)
         if balance:
+            # O(N) rank pairing (no sorts): the k-th donor lane (left >= 2)
+            # gives floor(left/2) photons + its step fields to the k-th
+            # drained lane; sentinel index N + mode="drop" masks the tail
             dead = (left <= 0.5) & (inf <= 0.5) & (pend <= 0.0)
-            donor = jnp.argsort(-left)                    # busiest first
-            recip = jnp.argsort(jnp.where(dead, 0, 1), stable=True)
-            give = jnp.floor(left[donor] * 0.5)
-            valid = (give >= 1.0) & dead[recip]
-            givev = jnp.where(valid, give, 0.0)
-            left = left.at[donor].add(-givev)
-            left = left.at[recip].add(givev)              # recipients had 0
+            donor_mask = left >= 2.0
+            drank = jnp.cumsum(donor_mask.astype(jnp.int32)) - 1
+            rrank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+            n_pairs = jnp.minimum(drank[-1], rrank[-1]) + 1
+            sentinel = jnp.full(N, N, jnp.int32)
+            donor_by_rank = sentinel.at[
+                jnp.where(donor_mask, drank, N)].set(iota, mode="drop")
+            recip_by_rank = sentinel.at[
+                jnp.where(dead, rrank, N)].set(iota, mode="drop")
+            valid = iota < n_pairs
+            d_idx = jnp.where(valid, donor_by_rank, 0)
+            r_idx = jnp.where(valid, recip_by_rank, 0)
+            givev = jnp.where(valid, jnp.floor(left[d_idx] * 0.5), 0.0)
+            left = left.at[d_idx].add(-givev)   # invalid pairs add 0 at lane 0
+            left = left.at[r_idx].add(givev)
             st = st.at[0].set(left)
-            # pair k: recipient lane recip[k] takes donor lane donor[k]'s
-            # step fields (recip is a permutation -> unique-index scatter)
-            moved = jnp.take(sp, donor, axis=1)           # (NST, N)
-            cur = jnp.take(sp, recip, axis=1)
-            sp = sp.at[:, recip].set(jnp.where(valid[None, :], moved, cur))
-        dead2 = jnp.where((left > 0.5) | (inf > 0.5) | (pend > 0.0), 0, 1)
-        perm = jnp.argsort(dead2, stable=True)
+            moved = jnp.take(sp, d_idx, axis=1)           # (NST, N)
+            sp = sp.at[:, jnp.where(valid, r_idx, N)].set(moved, mode="drop")
+        # stable partition (live first) via rank scatter, again without sorts
+        live = (left > 0.5) | (inf > 0.5) | (pend > 0.0)
+        livei = live.astype(jnp.int32)
+        n_live_inc = jnp.cumsum(livei)
+        pos = jnp.where(live, n_live_inc - 1,
+                        n_live_inc[-1] + jnp.cumsum(1 - livei) - 1)
+        perm = jnp.zeros(N, jnp.int32).at[pos].set(iota)
         both = jnp.take(jnp.concatenate([st, sp], axis=0), perm, axis=1)
         return (pack_state_arrays(list(both[NSF:]), nb, RB),
                 pack_state_arrays(list(both[:NSF]), nb, RB))

@@ -91,6 +91,30 @@ def default_parameterizations(ppc_converter, flasher_converter=None
     return params
 
 
+def hybrid_parameterizations(ppc_converter,
+                             crossover_energy_em: float = 0.1,
+                             crossover_energy_hadron: float = 30.0
+                             ) -> List[Parameterization]:
+    """The GetHybridParameterizationList analog
+    (python/GetHybridParameterizationList.py:33-105): muons always go to the
+    PPC parameterization; EM and hadronic cascades only ABOVE their
+    crossover energies [GeV] -- below, the matcher finds no record and the
+    source falls through to a detailed propagator in the propagator chain
+    (the Geant4 role).  Taus are never parameterized.  Passing None for a
+    crossover sends that whole family to the detailed propagator."""
+    params = [Parameterization(converter=ppc_converter,
+                               for_types=set(MUON_TYPES))]
+    if crossover_energy_em is not None:
+        params.append(Parameterization(converter=ppc_converter,
+                                       for_types=set(EM_TYPES),
+                                       from_energy=crossover_energy_em))
+    if crossover_energy_hadron is not None:
+        params.append(Parameterization(converter=ppc_converter,
+                                       for_types=set(HADRON_TYPES),
+                                       from_energy=crossover_energy_hadron))
+    return params
+
+
 class MuonSlicerPropagator:
     """First LightSourcePropagator implementation: a muon carrying
     stochastic losses (``daughters``) is sliced into track segments with

@@ -119,24 +119,47 @@ class FlasherStepGenerator:
             counts[-1] = rest
         n = len(counts)
 
-        # direction smearing (non-polar interpretation, Flasher.cxx:460-478):
-        # start from the pulse direction's (theta, phi), add the azimuthal
-        # offset in the horizontal plane, then rotate by the polar offset
-        theta0 = math.acos(max(-1.0, min(1.0, pulse.dir_z)))
-        phi0 = math.atan2(pulse.dir_y, pulse.dir_x)
-        d_azi = (rng.normal(0.0, 1.0, n) * pulse.angular_smear_azimuthal
-                 if pulse.angular_smear_azimuthal > 0 else np.zeros(n))
-        d_pol = (rng.normal(0.0, 1.0, n) * pulse.angular_smear_polar
-                 if pulse.angular_smear_polar > 0 else np.zeros(n))
-        phi = phi0 + d_azi
-        theta = theta0 + d_pol
-        dx = np.sin(theta) * np.cos(phi)
-        dy = np.sin(theta) * np.sin(phi)
-        dz = np.cos(theta)
+        if pulse.emission_mode == "cone":
+            # Standard Candle mode (polar interpretation, I3CLSimLightSource
+            # ToStepConverterFlasher.cxx:479-520 with the SC distributions of
+            # GetFlasherParameterizationList.py:60-66): rotate EXACTLY
+            # `angular_smear_polar` away from the axis, azimuth uniform in
+            # [0, angular_smear_azimuthal); time delay N(2 ns, width)
+            from .ppc import _rotate_by_angle
+            cosa = np.full(n, math.cos(pulse.angular_smear_polar))
+            sina = np.full(n, math.sin(pulse.angular_smear_polar))
+            u_azi = rng.random(n) * (pulse.angular_smear_azimuthal
+                                     / (2.0 * np.pi))
+            dx, dy, dz = _rotate_by_angle(
+                cosa, sina, np.full(n, pulse.dir_x),
+                np.full(n, pulse.dir_y), np.full(n, pulse.dir_z), u_azi)
+            t = np.full(n, pulse.time)
+            if pulse.pulse_width > 0:
+                t = t + rng.normal(2.0, pulse.pulse_width, n)
+        else:
+            # LED mode: direction smearing (non-polar interpretation,
+            # Flasher.cxx:460-478): start from the pulse direction's
+            # (theta, phi), add the azimuthal offset in the horizontal
+            # plane, then rotate by the polar offset
+            theta0 = math.acos(max(-1.0, min(1.0, pulse.dir_z)))
+            phi0 = math.atan2(pulse.dir_y, pulse.dir_x)
+            d_azi = (rng.normal(0.0, 1.0, n) * pulse.angular_smear_azimuthal
+                     if pulse.angular_smear_azimuthal > 0 else np.zeros(n))
+            d_pol = (rng.normal(0.0, 1.0, n) * pulse.angular_smear_polar
+                     if pulse.angular_smear_polar > 0 else np.zeros(n))
+            phi = phi0 + d_azi
+            theta = theta0 + d_pol
+            dx = np.sin(theta) * np.cos(phi)
+            dy = np.sin(theta) * np.sin(phi)
+            dz = np.cos(theta)
 
-        t = np.full(n, pulse.time)
-        if pulse.pulse_width > 0:
-            t = t + np.abs(rng.normal(0.0, pulse.pulse_width, n))
+            t = np.full(n, pulse.time)
+            if pulse.pulse_width > 0:
+                # measured LED output time profile (replaces the round-1
+                # |N(0, w)| placeholder; I3CLSimRandomValueIceCubeFlasher
+                # TimeProfile.py:138-165 semantics)
+                from .flasher_extras import sample_flasher_time
+                t = t + sample_flasher_time(pulse.pulse_width, rng, n)
 
         return [StepBatch(
             x=np.full(n, pulse.x, np.float32),

@@ -105,3 +105,12 @@ class FlasherPulse:
     angular_smear_azimuthal: float = 0.0
     pulse_width: float = 0.0
     spectrum_index: int = 1
+    # "smear": LED mode -- Gaussian angular smearing + the measured flasher
+    #   time profile (non-polar interpretation,
+    #   I3CLSimLightSourceToStepConverterFlasher.cxx:460-478)
+    # "cone": Standard Candle mode -- emission rotated EXACTLY
+    #   angular_smear_polar away from the axis at an azimuth uniform in
+    #   [0, angular_smear_azimuthal), time delay N(2 ns, pulse_width)
+    #   (the interpretAngularDistributionsInPolarCoordinates branch,
+    #   …Flasher.cxx:479-520; GetFlasherParameterizationList.py:60-66)
+    emission_mode: str = "smear"

@@ -91,21 +91,6 @@ def make_variants():
             return consume(w, flat)
         o_ref[:] = jax.lax.fori_loop(0, T, body, x_ref[:])
 
-    def k_bf16(tab_ref, x_ref, o_ref):
-        hi, lo = split2(tab_ref[:])
-        iota = jax.lax.broadcasted_iota(
-            jnp.int32, (S, BLK), 0).astype(jnp.bfloat16)
-
-        def body(i, a):
-            flat = a.reshape(1, BLK)
-            idx = ((jnp.abs(flat) * 37.0).astype(jnp.int32) % S) \
-                .astype(jnp.bfloat16)
-            oh = (iota == idx).astype(jnp.bfloat16)
-            w = (jnp.dot(hi, oh, preferred_element_type=jnp.float32)
-                 + jnp.dot(lo, oh, preferred_element_type=jnp.float32))
-            return consume(w, flat)
-        o_ref[:] = jax.lax.fori_loop(0, T, body, x_ref[:])
-
     def k_u8(tab_ref, x_ref, o_ref):
         hi, lo = split2(tab_ref[:])
         iota = jax.lax.broadcasted_iota(
@@ -180,7 +165,7 @@ def make_variants():
         o_ref[:] = jax.lax.fori_loop(0, T, body, x_ref[:])
 
     specs = ([fixed((C, S))], [tab])
-    return dict(fetch_f32=k_f32, fetch_bf16=k_bf16, fetch_u8=k_u8,
+    return dict(fetch_f32=k_f32, fetch_u8=k_u8,
                 fetch_arith=k_arith, fetch_const=k_const,
                 fetch_2stage=k_2stage), specs
 
@@ -190,8 +175,12 @@ def main():
                     jnp.float32)
     variants, (especs, eins) = make_variants()
     for name, k in variants.items():
-        g = grid_call(k, extra_in=eins, extra_specs=especs)
-        timed(name, g, x)
+        try:
+            g = grid_call(k, extra_in=eins, extra_specs=especs)
+            timed(name, g, x)
+        except Exception as e:
+            print(f"{name:<14} UNSUPPORTED: {str(e).splitlines()[0][:90]}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -391,3 +391,70 @@ def test_kernel_balance_conserves_and_drains():
     np.testing.assert_allclose(float(jnp.sum(res.hist)),
                                float(totals[FK.CNT_WSUM]), rtol=1e-5)
     assert float(totals[FK.CNT_HITS]) > 20
+
+
+def _shadow_geometry():
+    """Three strings nearly on the photon's line of flight: the two NEAREST
+    (ranks 1, 2) have DOMs only at z=+200 (pass the 2-D cull, can never be
+    hit at z~0), the 3rd-nearest has its DOM exactly in the photon's path.
+    The reference tests every culled string
+    (sparse_collision_kernel.c.cl:462-587); the top-K approximation must
+    use K>=3 here."""
+    from clsim_tpu.geometry import build_geometry
+    sids = [0, 1, 2]
+    oids = [0, 0, 0]
+    xs = [10.0, 20.0, 30.0]
+    ys = [0.3, 0.5, 0.8]       # axis distances 0.3 < 0.5 < 0.8
+    zs = [200.0, 200.0, 0.0]   # only string 2's DOM is reachable at z=0
+    return build_geometry(sids, oids, xs, ys, zs, oversize=12.0)
+
+
+@pytest.mark.parametrize("K,expect_hit", [(2, False), (3, True)])
+def test_strings_per_photon_shadowing(K, expect_hit):
+    n = 256
+    geo = _shadow_geometry()
+    medium = make_homogeneous_ice(b400=1e-9, a_dust400=1e-4,
+                                  n_layers=12, z_start=-300.0,
+                                  layer_height=50.0)
+    spectra = stack_spectra([make_cherenkov_spectrum(
+        DEFAULT_ICE_REF_INDEX, 265.0, 675.0)])
+    cfg = PropagationConfig(n_slots=n, pancake_factor=1.0,
+                            hist_t_min=0.0, hist_t_max=1600.0,
+                            hist_n_bins=64, max_layer_steps=6,
+                            max_segment_m=120.0, strings_per_photon=K)
+    steps = StepBatch(
+        x=jnp.zeros(n), y=jnp.zeros(n), z=jnp.zeros(n), t=jnp.zeros(n),
+        dir_x=jnp.ones(n), dir_y=jnp.zeros(n), dir_z=jnp.zeros(n),
+        length=jnp.zeros(n), beta=jnp.ones(n),
+        num_photons=jnp.ones(n, jnp.int32), weight=jnp.ones(n),
+        identifier=jnp.zeros(n, jnp.int32),
+        source_type=jnp.ones(n, jnp.int32))   # flasher: keeps direction
+
+    # engine
+    key = jnp.asarray([0, 3], jnp.uint32)
+    res_e = E.propagate(steps, medium, geo, spectra, key, cfg)
+    # fused kernel (interpret, external uniforms)
+    uniforms = np.random.default_rng(4).random((8, 8, n)).astype(np.float32)
+    res_k, totals = FK.propagate_fused(
+        steps, medium, geo, spectra, seed=0, cfg=cfg,
+        iters_per_call=8, flush_every=1, queue_rows=8,
+        block_lanes=256, max_calls=1, uniforms=uniforms, interpret=True)
+    for nh, label in ((float(res_e.n_hits), "engine"),
+                      (float(totals[FK.CNT_HITS]), "fused")):
+        if expect_hit:
+            # most photons reach x=30 m (a minority is absorbed first)
+            assert nh > 0.5 * n, (label, nh)
+        else:
+            assert nh == 0.0, (label, nh)
+
+
+def test_advise_strings_per_photon():
+    from clsim_tpu.geometry import advise_strings_per_photon
+    geo = _shadow_geometry()
+    rec, reason = advise_strings_per_photon(geo, 120.0, configured=2)
+    assert rec >= 3 and reason is not None
+    # homogeneous hex lattice: K=2 is fine, no warning
+    hex_geo = hexagonal_geometry(n_rings=2, doms_per_string=10,
+                                 dom_spacing=17.0, z_top=80.0)
+    rec2, reason2 = advise_strings_per_photon(hex_geo, 35.0, configured=2)
+    assert reason2 is None
