@@ -481,16 +481,21 @@ def _make_kernel(spec: FusedSpec):
             zero = jnp.zeros_like(pend_w)
             return zero, zero, head, n_dropped
 
-        def body(i, carry, spawn_now):
+        def body(i, carry, spawn_now, u_pre=None):
             """One propagation iteration; `spawn_now` is STATIC -- the spawn
             phase is scheduled by the loop structure (every spawn_every-th
             iteration), so non-spawn iterations draw only the 4 uniform rows
-            the budget/scatter phases need and trace no spawn code."""
+            the budget/scatter phases need and trace no spawn code.
+            `u_pre` carries group-hoisted uniforms (one PRNG draw per
+            spawn group instead of per iteration: the draw+convert leaves
+            the per-iteration critical path)."""
             (photons_left, in_flight, x, y, z, t, dx, dy, dz, w0, inv_gv,
              abs_left, gsv, pav, qav, rav, pend_idx, pend_w, head, n_gen,
              n_hits, w_sum, n_dropped, n_work) = carry
 
-            if spec.external_uniforms:
+            if u_pre is not None:
+                u = u_pre
+            elif spec.external_uniforms:
                 uu = uni_ref[pl.ds(i * 8 * RB, 8 * RB), :]
                 u = [uu[c * RB:(c + 1) * RB, :] for c in range(8)]
             elif "norng" in ablate:
@@ -632,6 +637,53 @@ def _make_kernel(spec: FusedSpec):
                 sca_budget = jnp.full_like(dx, 0.7)
                 abs_budget = abs_left
 
+            # ---------- collision prelude (d_prop-independent) -------------
+            # The cell-grid fetch and 2-D ray geometry depend only on the
+            # segment START (x, y, dx, dy) -- issuing them BEFORE the
+            # tilt/walk MXU chain gives the scheduler independent work to
+            # overlap with it (the iteration is latency-bound: ablations
+            # show superadditive savings, i.e. a mostly-serial schedule).
+            dir_xy2 = dx * dx + dy * dy
+            has_xy = dir_xy2 > 0.0
+            inv_dir_xy2 = 1.0 / jnp.maximum(dir_xy2, 1e-20)
+            R2 = pf(PF_R2)
+            Rcol = jnp.sqrt(R2)
+            pancake = pf(PF_PANCAKE)
+
+            cxi = jnp.clip(jnp.floor((x - spec.cell_x0) * spec.inv_cell),
+                           0.0, float(spec.cell_nx - 1))
+            cyi = jnp.clip(jnp.floor((y - spec.cell_y0) * spec.inv_cell),
+                           0.0, float(spec.cell_ny - 1))
+            cell = cxi * float(spec.cell_ny) + cyi
+
+            fx_, fy_, fz_ = flat(x), flat(y), flat(z)
+            fdx, fdy, fdz = flat(dx), flat(dy), flat(dz)
+            fact = flat((active & has_xy).astype(jnp.float32)) > 0.5
+            finv = flat(inv_dir_xy2)
+
+            ohc = (iota_cells == flat(cell).astype(jnp.int32)) \
+                .astype(jnp.bfloat16)                        # (NCp, BLK)
+            cf = _fetch(cell_splits, ohc)                    # (n_feat*C, BLK)
+            sxc = cf[0 * C:1 * C]
+            syc = cf[1 * C:2 * C]
+            minzc = cf[2 * C:3 * C]
+            maxzc = cf[3 * C:4 * C]
+            maxr2c = cf[4 * C:5 * C]
+            offc = cf[5 * C:6 * C]
+            if not (spec.affine_doms and spec.uniform_z):
+                z0c = cf[6 * C:7 * C]
+                dzc = cf[7 * C:8 * C]
+                ndc = cf[8 * C:9 * C]
+            if not spec.affine_doms:
+                sic = cf[9 * C:10 * C]
+
+            rx = sxc - fx_                                   # (C, BLK)
+            ry = syc - fy_
+            bd2 = rx * fdx + ry * fdy
+            A2c = rx * rx + ry * ry
+            pass_z = ~((fdz > 0) & (fz_ > maxzc + Rcol)) \
+                & ~((fdz < 0) & (fz_ < minzc - Rcol))
+
             # ---------- tilt + layer walk (kernel:598-696) -----------------
             shift_z = (jnp.zeros_like(z) if "notilt" in ablate
                        else tilt_shift(x, y, z))
@@ -716,58 +768,17 @@ def _make_kernel(spec: FusedSpec):
             # ---------- collision (sparse_collision_kernel.c.cl) ----------
             # 2-D cell-grid cull (the TPU form of the reference's
             # per-subdetector cell grid, _InCells :305-460): the lane's cell
-            # index selects a precomputed <= K_cand candidate-string feature
-            # block with ONE bf16-split MXU fetch; the point-to-segment cull
-            # and top-K closest-string ranking then run on (K_cand, BLK)
-            # arrays instead of (n_strings, BLK).
-            dir_xy2 = dx * dx + dy * dy
-            has_xy = dir_xy2 > 0.0
-            inv_dir_xy2 = 1.0 / jnp.maximum(dir_xy2, 1e-20)
-            R2 = pf(PF_R2)
-            Rcol = jnp.sqrt(R2)
-            pancake = pf(PF_PANCAKE)
-
-            cxi = jnp.clip(jnp.floor((x - spec.cell_x0) * spec.inv_cell),
-                           0.0, float(spec.cell_nx - 1))
-            cyi = jnp.clip(jnp.floor((y - spec.cell_y0) * spec.inv_cell),
-                           0.0, float(spec.cell_ny - 1))
-            cell = cxi * float(spec.cell_ny) + cyi
-
-            fx_, fy_, fz_ = flat(x), flat(y), flat(z)
-            fdx, fdy, fdz = flat(dx), flat(dy), flat(dz)
+            # index selected a precomputed <= K_cand candidate-string feature
+            # block in the prelude above; only the segment-length clip and
+            # the ranking remain d_prop-dependent.
             fdp = flat(d_prop)
-            fact = flat((active & has_xy).astype(jnp.float32)) > 0.5
-            finv = flat(inv_dir_xy2)
-
-            ohc = (iota_cells == flat(cell).astype(jnp.int32)) \
-                .astype(jnp.bfloat16)                        # (NCp, BLK)
-            cf = _fetch(cell_splits, ohc)                    # (n_feat*C, BLK)
-            sxc = cf[0 * C:1 * C]
-            syc = cf[1 * C:2 * C]
-            minzc = cf[2 * C:3 * C]
-            maxzc = cf[3 * C:4 * C]
-            maxr2c = cf[4 * C:5 * C]
-            offc = cf[5 * C:6 * C]
-            if not (spec.affine_doms and spec.uniform_z):
-                z0c = cf[6 * C:7 * C]
-                dzc = cf[7 * C:8 * C]
-                ndc = cf[8 * C:9 * C]
-            if not spec.affine_doms:
-                sic = cf[9 * C:10 * C]
-
-            rx = sxc - fx_                                   # (C, BLK)
-            ry = syc - fy_
-            bd2 = rx * fdx + ry * fdy
             t2d = jnp.clip(bd2 * finv, 0.0, fdp)
             cx = rx - fdx * t2d
             cy = ry - fdy * t2d
             dist2 = cx * cx + cy * cy
             pass_r = dist2 <= maxr2c
-            pass_z = ~((fdz > 0) & (fz_ > maxzc + Rcol)) \
-                & ~((fdz < 0) & (fz_ < minzc - Rcol))
             cand = pass_r & pass_z & fact
             ranked = jnp.where(cand, dist2, BIG)
-            A2c = rx * rx + ry * ry
 
             n_string_rounds = (0 if ("nosphere" in ablate or
                                      "nocull" in ablate)
@@ -814,7 +825,12 @@ def _make_kernel(spec: FusedSpec):
                     mlo = jnp.floor(jnp.minimum(m1, m2)
                                     - margin * jnp.abs(inv_dzf))
                     nd1 = fnd - 1.0
-                    best = jnp.full_like(x, BIG)
+                    # best starts at the incumbent distance: `smin1 < best`
+                    # subsumes the `smin1 < dist_t` check, and the smin2>=0
+                    # condition of the reference (sq >= 0 so smin2 >= smin1
+                    # >= 0) is implied by smin1 >= 0 -- fewer VPU ops per
+                    # candidate with identical accept set
+                    best = dist_t
                     domb = jnp.zeros_like(x)
                     for c in range(spec.n_dom_cand):
                         m = jnp.clip(mlo + float(c), 0.0, nd1)
@@ -824,12 +840,11 @@ def _make_kernel(spec: FusedSpec):
                         discr = urdot * urdot - dr2 + R2
                         sq = jnp.sqrt(jnp.maximum(discr, 0.0)) * inv_pancake
                         smin1 = urdot - sq
-                        good = s_ok & (discr >= 0.0) & (urdot + sq >= 0.0) \
-                            & (smin1 >= 0.0) & (smin1 < dist_t) \
-                            & (smin1 < best)
+                        good = s_ok & (discr >= 0.0) \
+                            & (smin1 >= 0.0) & (smin1 < best)
                         best = jnp.where(good, smin1, best)
                         domb = jnp.where(good, foff + m, domb)
-                    found = best < BIG
+                    found = best < dist_t
                     hit_t = hit_t | found
                     dom_t = jnp.where(found, domb, dom_t)
                     dist_t = jnp.where(found, best, dist_t)
@@ -869,8 +884,8 @@ def _make_kernel(spec: FusedSpec):
                     discr = urdot * urdot - dr2 + R2
                     sq = jnp.sqrt(jnp.maximum(discr, 0.0)) * inv_pancake
                     smin1 = urdot - sq
-                    smin2 = urdot + sq
-                    good = valid & (discr >= 0.0) & (smin2 >= 0.0) \
+                    # smin2 >= 0 is implied by smin1 >= 0 (sq >= 0)
+                    good = valid & (discr >= 0.0) \
                         & (smin1 >= 0.0) & (smin1 < dist_f)
                     sm = jnp.where(good, smin1, BIG)
                     best = jnp.min(sm, axis=0, keepdims=True)
@@ -1047,14 +1062,35 @@ def _make_kernel(spec: FusedSpec):
                                               carry)
                 else:
                     # statically scheduled spawn: one spawning iteration,
-                    # then se-1 spawn-free iterations (traced once each)
+                    # then se-1 spawn-free iterations.  The whole group's
+                    # uniforms come from ONE PRNG draw+convert (the draw is
+                    # state-independent, so hoisting it both amortizes the
+                    # PRNG issue cost and unblocks the iteration pipeline).
+                    hoist_rng = "norng" not in ablate
+
                     def group(gi, c):
                         base = oi * spec.flush_every + gi * se
-                        c = body(base, c, True)
+                        if not hoist_rng:
+                            c = body(base, c, True)
 
-                        def nospawn(k, c2):
-                            return body(base + 1 + k, c2, False)
-                        return jax.lax.fori_loop(0, se - 1, nospawn, c)
+                            def nospawn(k, c2):
+                                return body(base + 1 + k, c2, False)
+                            return jax.lax.fori_loop(0, se - 1, nospawn, c)
+                        nrows = 8 + 4 * (se - 1)
+                        bits = pltpu.prng_random_bits((nrows * RB, LANES))
+                        bits = pltpu.bitcast(bits, jnp.uint32) \
+                            >> jnp.uint32(8)
+                        uu = pltpu.bitcast(bits, jnp.int32) \
+                            .astype(jnp.float32) * (2.0 ** -24)
+                        u0 = [uu[r * RB:(r + 1) * RB, :] for r in range(8)]
+                        c = body(base, c, True, u_pre=u0)
+                        for k in range(se - 1):
+                            off = 8 + 4 * k
+                            uk = [None] * 4 + [
+                                uu[(off + j) * RB:(off + j + 1) * RB, :]
+                                for j in range(4)]
+                            c = body(base + 1 + k, c, False, u_pre=uk)
+                        return c
                     carry = jax.lax.fori_loop(0, spec.flush_every // se,
                                               group, carry)
                 if "noflush" in ablate or spec.expected:
@@ -1716,7 +1752,7 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
                     scatter_cap: int = 8192,
                     spawn_every: int = 4,
                     repack: bool = True,
-                    balance: bool = True,
+                    balance: bool = False,
                     uniforms=None,
                     interpret: bool = False,
                     allow_uniform_replay: bool = False,
