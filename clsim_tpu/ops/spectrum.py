@@ -36,7 +36,7 @@ def cherenkov_yield_density(ref_index: F.RefIndexParams, wlen_nm, beta=1.0):
 def photons_per_meter(ref_index: F.RefIndexParams,
                       bias_wlen_nm, bias_values,
                       min_wlen_nm: float, max_wlen_nm: float,
-                      n_points: int = 1024):
+                      n_points: int = 1024, beta: float = 1.0):
     """Bias-weighted Frank-Tamm integral: number of Cherenkov photons emitted
     per meter of beta=1 track, counting only bias-sampled photons.
 
@@ -47,7 +47,7 @@ def photons_per_meter(ref_index: F.RefIndexParams,
     bias_values=None for an unbiased yield.
     """
     wl = jnp.linspace(min_wlen_nm, max_wlen_nm, n_points)
-    dens = cherenkov_yield_density(ref_index, wl)
+    dens = jnp.maximum(cherenkov_yield_density(ref_index, wl, beta), 0.0)
     if bias_values is not None:
         bias = jnp.interp(wl, jnp.asarray(bias_wlen_nm), jnp.asarray(bias_values))
         dens = dens * bias
