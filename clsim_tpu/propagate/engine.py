@@ -365,9 +365,14 @@ def _check_collisions(state: SlotState, geo: DetectorGeometry,
     sy = geo.string_y[None, :]
     rx = sx - x[:, None]         # (N, S)
     ry = sy - y[:, None]
-    # closest approach parameter of the infinite 2D ray, clamped to segment
+    # closest approach parameter of the infinite 2D ray, clamped to the
+    # STATIC segment cap (not this segment's d_prop): candidates beyond
+    # d_prop are rejected by the sphere test's distance gate, and the
+    # constant cap keeps the cull independent of the layer walk (the fused
+    # kernel relies on that independence to overlap the two; both paths
+    # must rank identically for parity)
     t2d = jnp.clip((rx * dx[:, None] + ry * dy[:, None]) * inv_dir_xy2[:, None],
-                   0.0, d_prop[:, None])
+                   0.0, cfg.max_segment_m)
     cx = x[:, None] + dx[:, None] * t2d - sx
     cy = y[:, None] + dy[:, None] * t2d - sy
     dist2 = cx * cx + cy * cy

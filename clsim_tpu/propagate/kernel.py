@@ -494,7 +494,15 @@ def _make_kernel(spec: FusedSpec):
              n_hits, w_sum, n_dropped, n_work) = carry
 
             if u_pre is not None:
-                u = u_pre
+                # group-hoisted RAW bits (uint32; half the VMEM of holding
+                # converted floats): convert this iteration's slice here
+                def conv(rows):
+                    if rows is None:
+                        return None
+                    b = pltpu.bitcast(rows, jnp.uint32) >> jnp.uint32(8)
+                    return pltpu.bitcast(b, jnp.int32).astype(jnp.float32) \
+                        * (2.0 ** -24)
+                u = [conv(r) for r in u_pre]
             elif spec.external_uniforms:
                 uu = uni_ref[pl.ds(i * 8 * RB, 8 * RB), :]
                 u = [uu[c * RB:(c + 1) * RB, :] for c in range(8)]
@@ -649,6 +657,7 @@ def _make_kernel(spec: FusedSpec):
             R2 = pf(PF_R2)
             Rcol = jnp.sqrt(R2)
             pancake = pf(PF_PANCAKE)
+            max_seg = pf(PF_MAX_SEG)
 
             cxi = jnp.clip(jnp.floor((x - spec.cell_x0) * spec.inv_cell),
                            0.0, float(spec.cell_nx - 1))
@@ -683,6 +692,20 @@ def _make_kernel(spec: FusedSpec):
             A2c = rx * rx + ry * ry
             pass_z = ~((fdz > 0) & (fz_ > maxzc + Rcol)) \
                 & ~((fdz < 0) & (fz_ < minzc - Rcol))
+            # rank with the STATIC segment cap instead of this segment's
+            # d_prop: candidates beyond d_prop are rejected by the sphere
+            # test's distance gate anyway, and the constant cap removes the
+            # walk -> cull serial dependency (the whole cull now overlaps
+            # the tilt/walk MXU chain).  Same approximation class: top-K
+            # closest culled strings (the reference tests every culled
+            # string, sparse_collision_kernel.c.cl:462-587).
+            t2d = jnp.clip(bd2 * finv, 0.0, max_seg)
+            cx = rx - fdx * t2d
+            cy = ry - fdy * t2d
+            dist2 = cx * cx + cy * cy
+            pass_r = dist2 <= maxr2c
+            cand = pass_r & pass_z & fact
+            ranked = jnp.where(cand, dist2, BIG)
 
             # ---------- tilt + layer walk (kernel:598-696) -----------------
             shift_z = (jnp.zeros_like(z) if "notilt" in ablate
@@ -722,7 +745,6 @@ def _make_kernel(spec: FusedSpec):
             done = jnp.zeros_like(x, dtype=bool)
             d_scat, d_abs = zeros, zeros
             inv_a_fin = jnp.ones_like(x)
-            max_seg = pf(PF_MAX_SEG)
             for k in range(K + 1):
                 inv_s_k, inv_a_k = layer_vals(k)
                 d_s = t_done + tau_s / inv_s_k
@@ -772,13 +794,6 @@ def _make_kernel(spec: FusedSpec):
             # block in the prelude above; only the segment-length clip and
             # the ranking remain d_prop-dependent.
             fdp = flat(d_prop)
-            t2d = jnp.clip(bd2 * finv, 0.0, fdp)
-            cx = rx - fdx * t2d
-            cy = ry - fdy * t2d
-            dist2 = cx * cx + cy * cy
-            pass_r = dist2 <= maxr2c
-            cand = pass_r & pass_z & fact
-            ranked = jnp.where(cand, dist2, BIG)
 
             n_string_rounds = (0 if ("nosphere" in ablate or
                                      "nocull" in ablate)
@@ -796,15 +811,21 @@ def _make_kernel(spec: FusedSpec):
                 # computed per lane (the TPU form of
                 # sparse_collision_kernel.c.cl:27-192's geoLayerToOMNumIndex
                 # window); all per-string features come from the cell fetch.
-                hit_t = jnp.zeros_like(x, bool)
-                dist_t = d_prop
-                dom_t = jnp.zeros_like(x)
                 margin = Rcol + 1.0
+                # peel the top-K string masks first (cheap serial VPU), then
+                # run every round's pick + candidate-DOM chain INDEPENDENTLY
+                # (each against the constant d_prop incumbent) and merge by
+                # minimum entry distance -- the closest tested DOM wins
+                # either way, at half the serial MXU/VPU depth of the old
+                # round-coupled form
+                peel = []
                 for _k in range(n_string_rounds):
                     mi, sidx = _min_and_idx(ranked, iota_C)
                     mask = (iota_C == sidx)
                     ranked = jnp.where(mask, BIG, ranked)
-                    mf = mask.astype(jnp.float32)
+                    peel.append((mask.astype(jnp.float32), mi))
+                round_best, round_dom = [], []
+                for mf, mi in peel:
                     A2 = pick(A2c, mf)
                     Bd = pick(bd2, mf)
                     foff = pick(offc, mf)
@@ -826,11 +847,11 @@ def _make_kernel(spec: FusedSpec):
                                     - margin * jnp.abs(inv_dzf))
                     nd1 = fnd - 1.0
                     # best starts at the incumbent distance: `smin1 < best`
-                    # subsumes the `smin1 < dist_t` check, and the smin2>=0
+                    # subsumes the `smin1 < dist` check, and the smin2>=0
                     # condition of the reference (sq >= 0 so smin2 >= smin1
                     # >= 0) is implied by smin1 >= 0 -- fewer VPU ops per
                     # candidate with identical accept set
-                    best = dist_t
+                    best = d_prop
                     domb = jnp.zeros_like(x)
                     for c in range(spec.n_dom_cand):
                         m = jnp.clip(mlo + float(c), 0.0, nd1)
@@ -844,23 +865,29 @@ def _make_kernel(spec: FusedSpec):
                             & (smin1 >= 0.0) & (smin1 < best)
                         best = jnp.where(good, smin1, best)
                         domb = jnp.where(good, foff + m, domb)
-                    found = best < dist_t
-                    hit_t = hit_t | found
-                    dom_t = jnp.where(found, domb, dom_t)
-                    dist_t = jnp.where(found, best, dist_t)
+                    round_best.append(best)
+                    round_dom.append(domb)
+                hit_t = jnp.zeros_like(x, bool)
+                dist_t = d_prop
+                dom_t = jnp.zeros_like(x)
+                for best, domb in zip(round_best, round_dom):
+                    closer = best < dist_t
+                    hit_t = hit_t | closer
+                    dom_t = jnp.where(closer, domb, dom_t)
+                    dist_t = jnp.where(closer, best, dist_t)
                 hit, hit_dist, hit_dom = hit_t, dist_t, dom_t
             else:
                 # general path: fetch the winner string's dense DOM-residual
                 # rows by global string index (from the cell feature block)
-                hit_f = jnp.zeros((1, BLK), bool)
-                dist_f = fdp
-                dom_f = jnp.zeros((1, BLK), jnp.float32)
+                peel = []
                 for _k in range(n_string_rounds):
                     mi, sidx = _min_and_idx(ranked, iota_C)
-                    s_ok = mi < BIG
                     mask = (iota_C == sidx)
                     ranked = jnp.where(mask, BIG, ranked)
-                    mf = mask.astype(jnp.float32)
+                    peel.append((mask.astype(jnp.float32), mi))
+                round_best, round_dom = [], []
+                for mf, mi in peel:
+                    s_ok = mi < BIG
                     sflat = jnp.sum(mf * sic, axis=0, keepdims=True)
                     ohs = ((iota_S == sflat.astype(jnp.int32)) & s_ok) \
                         .astype(jnp.bfloat16)
@@ -886,12 +913,18 @@ def _make_kernel(spec: FusedSpec):
                     smin1 = urdot - sq
                     # smin2 >= 0 is implied by smin1 >= 0 (sq >= 0)
                     good = valid & (discr >= 0.0) \
-                        & (smin1 >= 0.0) & (smin1 < dist_f)
+                        & (smin1 >= 0.0) & (smin1 < fdp)
                     sm = jnp.where(good, smin1, BIG)
                     best = jnp.min(sm, axis=0, keepdims=True)
                     domb = jnp.max(jnp.where(sm == best, slot_dom, -1.0),
                                    axis=0, keepdims=True)
-                    found = best < BIG
+                    round_best.append(best)
+                    round_dom.append(domb)
+                hit_f = jnp.zeros((1, BLK), bool)
+                dist_f = fdp
+                dom_f = jnp.zeros((1, BLK), jnp.float32)
+                for best, domb in zip(round_best, round_dom):
+                    found = best < dist_f
                     hit_f = hit_f | found
                     dom_f = jnp.where(found, domb, dom_f)
                     dist_f = jnp.where(found, best, dist_f)
@@ -1077,11 +1110,7 @@ def _make_kernel(spec: FusedSpec):
                                 return body(base + 1 + k, c2, False)
                             return jax.lax.fori_loop(0, se - 1, nospawn, c)
                         nrows = 8 + 4 * (se - 1)
-                        bits = pltpu.prng_random_bits((nrows * RB, LANES))
-                        bits = pltpu.bitcast(bits, jnp.uint32) \
-                            >> jnp.uint32(8)
-                        uu = pltpu.bitcast(bits, jnp.int32) \
-                            .astype(jnp.float32) * (2.0 ** -24)
+                        uu = pltpu.prng_random_bits((nrows * RB, LANES))
                         u0 = [uu[r * RB:(r + 1) * RB, :] for r in range(8)]
                         c = body(base, c, True, u_pre=u0)
                         for k in range(se - 1):

@@ -307,7 +307,15 @@ def oracle_propagate(steps, medium, geo, spectrum_xy, bias_xy, cfg, rng,
     cfg: PropagationConfig (hist binning, pancake, stop_on_detection).
     """
     m = OracleMedium(medium)
-    sx, sacu, sbeta = oracle_build_cdf(*spectrum_xy)
+    # one spectrum (x, density) or a list indexed by step.source_type (the
+    # generateWavelength(sourceType) dispatch of
+    # propagation_kernel.c.cl:153-183; flasher sources keep the step
+    # direction instead of the Cherenkov cone, createPhotonFromTrack
+    # :132-184)
+    if isinstance(spectrum_xy[0], (list, tuple)):
+        cdfs = [oracle_build_cdf(*sxy) for sxy in spectrum_xy]
+    else:
+        cdfs = [oracle_build_cdf(*spectrum_xy)]
     bias_x = np.asarray(bias_xy[0], np.float64)
     bias_y = np.asarray(bias_xy[1], np.float64)
 
@@ -332,12 +340,23 @@ def oracle_propagate(steps, medium, geo, spectrum_xy, bias_xy, cfg, rng,
     y = st_y + st_dy * shift
     z = st_z + st_dz * shift
     t = st_t + shift / (C_LIGHT * st_beta)
-    wlen = oracle_sample_wavelength(sx, sacu, sbeta, rng.random(n))
+    st_type = np.repeat(np.asarray(steps.source_type, np.int64),
+                        photons_per_step)
+    u_wl = rng.random(n)
+    wlen = np.empty(n, np.float64)
+    for s_i, (cx_, cacu, cbeta) in enumerate(cdfs):
+        msk = st_type == s_i
+        if msk.any():
+            wlen[msk] = oracle_sample_wavelength(cx_, cacu, cbeta, u_wl[msk])
     n_phase = m.phase_index(wlen)
     cos_c = np.minimum(1.0, 1.0 / (st_beta * n_phase))
     sin_c = np.sqrt(np.maximum(1.0 - cos_c ** 2, 0.0))
-    dx, dy, dz = rotate_by_angle(cos_c, sin_c, st_dx, st_dy, st_dz,
-                                 rng.random(n))
+    cdx, cdy, cdz = rotate_by_angle(cos_c, sin_c, st_dx, st_dy, st_dz,
+                                    rng.random(n))
+    is_cher = st_type == 0
+    dx = np.where(is_cher, cdx, st_dx)
+    dy = np.where(is_cher, cdy, st_dy)
+    dz = np.where(is_cher, cdz, st_dz)
     inv_gv = m.group_index(wlen) / C_LIGHT
     abs_left = -np.log(1.0 - rng.random(n))
     w0 = st_w / np.maximum(np.interp(wlen, bias_x, bias_y), 1e-20)

@@ -164,17 +164,90 @@ def make_variants():
             return (w0 * 1e-3 + w5 * 1e-4 + flat * 0.999).reshape(RB, 128)
         o_ref[:] = jax.lax.fori_loop(0, T, body, x_ref[:])
 
+
+    def k_i16(tab_ref, x_ref, o_ref):
+        hi, lo = split2(tab_ref[:])
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (S, BLK), 0).astype(jnp.int16)
+
+        def body(i, a):
+            flat = a.reshape(1, BLK)
+            idx = ((jnp.abs(flat) * 37.0).astype(jnp.int32) % S) \
+                .astype(jnp.int16)
+            oh = (iota == idx).astype(jnp.bfloat16)
+            w = (jnp.dot(hi, oh, preferred_element_type=jnp.float32)
+                 + jnp.dot(lo, oh, preferred_element_type=jnp.float32))
+            return consume(w, flat)
+        o_ref[:] = jax.lax.fori_loop(0, T, body, x_ref[:])
+
+    def k_pack2(tab2_ref, x_ref, o_ref):
+        # pair-packed table: (2C, S//2); one-hot over S//2 rows, fetch 2C
+        # rows, resolve parity with per-consumed-row selects
+        hi, lo = split2(tab2_ref[:])
+        iota2 = jax.lax.broadcasted_iota(jnp.int32, (S // 2, BLK), 0)
+
+        def body(i, a):
+            flat = a.reshape(1, BLK)
+            frac = jnp.abs(flat) - jnp.floor(jnp.abs(flat))
+            idx_f = jnp.floor(frac * float(S))
+            g_f = jnp.floor(idx_f * 0.5)
+            par = idx_f - 2.0 * g_f
+            oh = (iota2 == g_f.astype(jnp.int32)).astype(jnp.bfloat16)
+            w = (jnp.dot(hi, oh, preferred_element_type=jnp.float32)
+                 + jnp.dot(lo, oh, preferred_element_type=jnp.float32))
+            # consume rows 0 and 5 of the C logical rows: select parity
+            r0 = w[0:1] + par * (w[1:2] - w[0:1])
+            r5 = w[10:11] + par * (w[11:12] - w[10:11])
+            return (r0 * 1e-3 + r5 * 1e-4 + flat * 0.999).reshape(RB, 128)
+        o_ref[:] = jax.lax.fori_loop(0, T, body, x_ref[:])
+
+    def k_pack4(tab4_ref, x_ref, o_ref):
+        # quad-packed: (4C, S//4); one-hot over S//4 rows
+        hi, lo = split2(tab4_ref[:])
+        iota4 = jax.lax.broadcasted_iota(jnp.int32, (S // 4, BLK), 0)
+
+        def body(i, a):
+            flat = a.reshape(1, BLK)
+            frac = jnp.abs(flat) - jnp.floor(jnp.abs(flat))
+            idx_f = jnp.floor(frac * float(S))
+            g_f = jnp.floor(idx_f * 0.25)
+            r = idx_f - 4.0 * g_f
+            oh = (iota4 == g_f.astype(jnp.int32)).astype(jnp.bfloat16)
+            w = (jnp.dot(hi, oh, preferred_element_type=jnp.float32)
+                 + jnp.dot(lo, oh, preferred_element_type=jnp.float32))
+            def pick4(base):
+                m1 = jnp.minimum(r, 1.0)
+                a01 = w[base:base + 1] + m1 * (w[base + 1:base + 2]
+                                               - w[base:base + 1])
+                a23 = w[base + 2:base + 3] + (r - 2.0) * (
+                    w[base + 3:base + 4] - w[base + 2:base + 3])
+                hi_m = (r >= 2.0).astype(jnp.float32)
+                return a01 + hi_m * (a23 - a01)
+            r0 = pick4(0)
+            r5 = pick4(20)
+            return (r0 * 1e-3 + r5 * 1e-4 + flat * 0.999).reshape(RB, 128)
+        o_ref[:] = jax.lax.fori_loop(0, T, body, x_ref[:])
+
+    tab2 = jnp.asarray(
+        np.asarray(tab).reshape(C, S // 2, 2).transpose(0, 2, 1)
+        .reshape(2 * C, S // 2))
+    tab4 = jnp.asarray(
+        np.asarray(tab).reshape(C, S // 4, 4).transpose(0, 2, 1)
+        .reshape(4 * C, S // 4))
     specs = ([fixed((C, S))], [tab])
-    return dict(fetch_f32=k_f32, fetch_u8=k_u8,
-                fetch_arith=k_arith, fetch_const=k_const,
-                fetch_2stage=k_2stage), specs
+    specs2 = ([fixed((2 * C, S // 2))], [tab2])
+    specs4 = ([fixed((4 * C, S // 4))], [tab4])
+    return (dict(fetch_f32=(k_f32, specs), fetch_i16=(k_i16, specs),
+                 fetch_const=(k_const, specs),
+                 fetch_pack2=(k_pack2, specs2),
+                 fetch_pack4=(k_pack4, specs4)))
 
 
 def main():
     x = jnp.asarray(np.random.default_rng(1).random((G * RB, 128)),
                     jnp.float32)
-    variants, (especs, eins) = make_variants()
-    for name, k in variants.items():
+    variants = make_variants()
+    for name, (k, (especs, eins)) in variants.items():
         try:
             g = grid_call(k, extra_in=eins, extra_specs=especs)
             timed(name, g, x)

@@ -13,8 +13,14 @@ This replicates the role of the reference's compareToPPC golden comparison
 implementation (OpenCL cannot run in this environment).  Protocol: pinned
 seeds on both sides, agreement required at |z| < 5 for every statistic.
 
-Usage:  python scripts/validate_oracle.py [n_photons]
+Usage:  python scripts/validate_oracle.py [n_photons] [--config NAME]
+
+Configs (the BASELINE correctness matrix):
+  cascade  -- #1: cascade-like isotropic steps, tilt + anisotropy (default)
+  muon     -- #2: muon track through PARSED spice_lea (tilt + anisotropy)
+  flasher  -- #3: LED flasher pulses (multi-spectrum source_type dispatch)
 """
+import argparse
 import os
 import sys
 import time
@@ -26,19 +32,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from tests.test_oracle import _workload
+from tests.test_oracle import _workload, _workload_flasher, _workload_muon
 from clsim_tpu.propagate.dispatch import propagate_auto
 from clsim_tpu.types import StepBatch
 from clsim_tpu.validate.oracle import oracle_propagate
 
 
 def main():
-    n_photons = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    # unbiased spectrum: every hit weight is exactly 1, so Poisson z-scores
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_photons", nargs="?", type=int, default=1_000_000)
+    ap.add_argument("--config", choices=["cascade", "muon", "flasher"],
+                    default="cascade")
+    args = ap.parse_args()
+    n_photons = args.n_photons
+    # unbiased spectra: every hit weight is exactly 1, so Poisson z-scores
     # are valid.  (With the bias on, weights are heavy-tailed ~1/bias and a
     # per-bin z needs full sum(w^2) error propagation; the bias-unfolding
     # contract is covered by robust quantiles in tests/test_oracle.py.)
-    medium, geo, spectra, cfg, steps = _workload(bias=False)
+    if args.config == "cascade":
+        medium, geo, spectra, cfg, steps = _workload(bias=False)
+        oracle_spectra = (np.asarray(spectra.x[0]),
+                          np.asarray(spectra.beta[0]))
+    elif args.config == "muon":
+        medium, geo, spectra, cfg, steps = _workload_muon()
+        oracle_spectra = (np.asarray(spectra.x[0]),
+                          np.asarray(spectra.beta[0]))
+    else:
+        (medium, geo, spectra, cfg, steps,
+         oracle_spectra) = _workload_flasher()
     n_steps = steps.x.shape[0]
     pps = max(1, n_photons // n_steps)
     steps = steps._replace(num_photons=np.full(n_steps, pps, np.int32))
@@ -54,8 +75,7 @@ def main():
 
     t0 = time.perf_counter()
     o_hist, o_hits, o_w = oracle_propagate(
-        steps, medium, geo,
-        (np.asarray(spectra.x[0]), np.asarray(spectra.beta[0])),
+        steps, medium, geo, oracle_spectra,
         (np.asarray(spectra.bias_x), np.asarray(spectra.bias_y)),
         cfg, np.random.default_rng(123), photons_per_step=pps)
     print(f"oracle: {o_hits} hits in {time.perf_counter()-t0:.1f}s")
