@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DOM_RADIUS, PI
-from ..medium.functions import TableParams
+from ..medium.functions import TableParams, eval_polynomial
 
 # IceCube PMT+glass+gel effective area [m^2] at normal incidence, 260-680nm in
 # 10nm steps (the "dom2007a" ROMEO table adopted from photonics
@@ -165,3 +165,147 @@ def cos_cherenkov_angular_sensitivity() -> jnp.ndarray:
     users without a hole-ice file, the simple linear ramp (1+cos)/2 scaled to
     unit peak is a reasonable stand-in."""
     return jnp.asarray([0.5, 0.5], jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Antares / KM3NeT sea-water sensors (the km3 optics constant tables)
+# ---------------------------------------------------------------------------
+
+# Hamamatsu BB5912 quantum efficiency (fraction), 300..610 nm in 10 nm bins
+# (km3 hit-ini_optic.f via GetAntaresOMAcceptance.py:80-116, listed there
+# 610->300 and reversed; physics constant table)
+ANTARES_QE_BB5912 = 0.01 * np.array([
+    2.526, 7.443, 13.18, 17.68, 20.61, 22.59, 23.48, 22.74, 22.95, 22.95,
+    23.34, 23.14, 23.07, 22.65, 22.10, 21.26, 20.22, 18.95, 17.86, 17.11,
+    16.37, 15.29, 13.03, 10.13, 8.105, 6.885, 6.004, 5.166, 4.347, 3.496,
+    2.714, 1.988])
+
+# glass-sphere absorption length [cm], 300..610 nm
+# (GetAntaresOMAcceptance.py:130-175)
+ANTARES_GLASS_ABS_CM = np.array([
+    0.17, 0.39, 0.84, 1.82, 3.92, 8.41, 18.09, 27.21, 19.23, 61.84,
+    128.04, 81.25, 73.02, 77.30, 65.66, 81.63, 109.23, 116.08, 113.90,
+    118.86, 126.55, 139.70, 145.68, 150.88, 151.80, 147.16, 142.40,
+    138.27, 134.58, 135.64, 142.87, 148.37])
+
+# WACKER gel absorption length [cm], 300..610 nm
+# (GetAntaresOMAcceptance.py:183-231)
+ANTARES_GEL_ABS_CM = np.array([
+    0.00, 8.00, 15.60, 23.08, 30.49, 37.14, 41.88, 45.71, 48.96, 53.29,
+    56.64, 59.38, 62.53, 64.48, 66.91, 68.05, 72.31, 74.55, 76.48, 78.18,
+    81.08, 84.49, 85.88, 86.95, 90.10, 89.09, 94.36, 96.42, 96.90, 99.89,
+    99.94, 100.81])
+
+ANTARES_PMT_COLLECTION_EFF = 0.9      # GetAntaresOMAcceptance.py:61
+ANTARES_GLASS_THICKNESS_CM = 1.5
+ANTARES_GEL_THICKNESS_CM = 1.0
+ANTARES_PMT_DIAMETER_M = 9.3 * 0.0254   # 9.3-inch PMT
+
+
+def antares_om_acceptance(dom_radius: float = 0.2159) -> TableParams:
+    """Antares OM wavelength acceptance: PMT collection efficiency x BB5912
+    QE x glass+gel transmission, as effective area over the OM profile
+    (GetAntaresOMAcceptance.py:240-291; table starts with a 0 entry at
+    290 nm to share the wavelength range of the other optics curves)."""
+    pmt_area = PI * (ANTARES_PMT_DIAMETER_M / 2.0) ** 2
+    om_area = PI * dom_radius ** 2
+    trans = np.where(
+        (ANTARES_GLASS_ABS_CM > 0) & (ANTARES_GEL_ABS_CM > 0),
+        np.exp(-ANTARES_GLASS_THICKNESS_CM
+               / np.maximum(ANTARES_GLASS_ABS_CM, 1e-9))
+        * np.exp(-ANTARES_GEL_THICKNESS_CM
+                 / np.maximum(ANTARES_GEL_ABS_CM, 1e-9)), 0.0)
+    vals = np.concatenate([
+        [0.0],
+        pmt_area * ANTARES_PMT_COLLECTION_EFF * ANTARES_QE_BB5912 * trans
+        / om_area])
+    return TableParams(first_x=jnp.asarray(290.0, jnp.float32),
+                       dx=jnp.asarray(10.0, jnp.float32),
+                       values=jnp.asarray(vals, jnp.float32))
+
+
+# KM3NeT PMT quantum efficiency (WPD document table: 260..650 nm in 10 nm
+# bins at peak 0.304; pre-WPD variant: 250..700 nm in 50 nm bins scaled to
+# the peak) -- GetKM3NeTDOMAcceptance.py:66-96
+KM3NET_QE_WPD = 0.01 * np.array([
+    0.0, 0.0, 0.5, 3.1, 9.8, 17.5, 23.2, 26.5, 28.1, 28.1,
+    29.1, 30.1, 30.4, 30.1, 29.9, 29.3, 28.6, 27.5, 26.5, 25.0,
+    23.2, 21.1, 19.6, 18.5, 17.2, 15.4, 12.1, 9.3, 7.2, 6.2,
+    4.6, 3.6, 2.8, 2.1, 1.3, 0.8, 0.5, 0.3, 0.0, 0.0])
+KM3NET_QE_SIMPLE = np.array([0.00, 0.87, 1.00, 0.94, 0.78, 0.49,
+                             0.24, 0.09, 0.02, 0.00])
+
+
+def km3net_dom_acceptance(peak_qe: float = None, wpd_qe: bool = False,
+                          with_winston_cone: bool = False) -> TableParams:
+    """KM3NeT multi-PMT DOM wavelength acceptance for spectrum biasing
+    (GetKM3NeTDOMAcceptance.py:200-272): collection efficiency x QE
+    (x2 Winston-cone peak correction), glass/gel transmission deliberately
+    NOT folded in (the multi-PMT hit converter owns the exact path), and no
+    area normalization (the curve is a probability, not an area ratio)."""
+    if peak_qe is None:
+        peak_qe = 0.304 if wpd_qe else 0.32
+    if wpd_qe:
+        qx = 260.0 + 10.0 * np.arange(KM3NET_QE_WPD.shape[0])
+        qy = KM3NET_QE_WPD * (peak_qe / 0.304)
+    else:
+        qx = 250.0 + 50.0 * np.arange(KM3NET_QE_SIMPLE.shape[0])
+        qy = KM3NET_QE_SIMPLE * peak_qe
+    cone = 2.0 if with_winston_cone else 1.0
+    wl = np.arange(300.0, 611.0, 10.0)
+    vals = np.concatenate([
+        [0.0],
+        0.9 * np.interp(wl, qx, qy, left=0.0, right=0.0) * cone])
+    return TableParams(first_x=jnp.asarray(290.0, jnp.float32),
+                       dx=jnp.asarray(10.0, jnp.float32),
+                       values=jnp.asarray(vals, jnp.float32))
+
+
+class AngularSensitivity:
+    """Polynomial angular acceptance in cos(eta) with a hard cutoff below
+    `cos_min` (the I3CLSimFunctionPolynomial(range, clip) form used by the
+    Antares curves)."""
+
+    def __init__(self, coefficients, cos_min: float):
+        self.coefficients = jnp.asarray(coefficients, jnp.float32)
+        self.cos_min = float(cos_min)
+
+    def __call__(self, cos_eta):
+        c = jnp.clip(cos_eta, -1.0, 1.0)
+        v = eval_polynomial(self.coefficients, c)
+        return jnp.where(c >= self.cos_min, jnp.clip(v, 0.0, 1.0), 0.0)
+
+
+# GetAntaresOMAngularSensitivity.py:36-157 (km3 parameterizations)
+ANTARES_ANGULAR_MODELS = {
+    "Spring09": ([0.3265, 0.6144, -0.0343, -0.0641, 0.2988, -0.1422], -0.65),
+    "Genova": ([0.349, 0.547, 0.063, -0.036, 0.077], -0.80),
+    "NIM": ([0.2549, 0.6093, 0.2556, -0.1231], -0.65),
+    "old": ([0.153099, 0.627246, 0.41998, -0.322113, 0.218163, -0.166283,
+             0.126776, -0.10355, 0.0844767, -0.0720585, 0.0612634,
+             -0.0537683, 0.0469892, -0.042072, 0.0374956, -0.0340695,
+             0.0308118, -0.0283139, 0.0258992, -0.0240126, 0.0221646,
+             -0.0206989, 0.0192477, -0.0180824, 0.0169184, -0.0159738,
+             0.0150234, -0.0142452, 0.0134573, -0.0128072, 0.0121454],
+            -0.36),
+}
+
+
+def antares_om_angular_sensitivity(name: str = "Spring09"
+                                   ) -> AngularSensitivity:
+    """Antares OM angular acceptance parameterizations
+    (GetAntaresOMAngularSensitivity.py:36-157)."""
+    if name not in ANTARES_ANGULAR_MODELS:
+        raise ValueError(f"unknown Antares angular model {name!r}; "
+                         f"choose from {sorted(ANTARES_ANGULAR_MODELS)}")
+    coeffs, cutoff = ANTARES_ANGULAR_MODELS[name]
+    return AngularSensitivity(coeffs, cutoff)
+
+
+def angular_factor(angular, cos_eta):
+    """Evaluate an angular acceptance that is either a plain polynomial
+    coefficient array (IceCube hole-ice style) or an AngularSensitivity
+    with a cutoff (Antares style)."""
+    if callable(angular):
+        return angular(cos_eta)
+    return eval_polynomial(angular, jnp.clip(cos_eta, -1.0, 1.0))

@@ -44,9 +44,12 @@ def hit_probability(weight, wavelength, cos_impact,
                     wlen_acceptance: TableParams,
                     angular_coeffs, efficiency=1.0):
     """The product formula of I3PhotonToMCPEConverter.cxx:466-475."""
+    from .acceptance import angular_factor
     p = weight
     p = p * eval_table(wlen_acceptance, wavelength)
-    p = p * eval_polynomial(angular_coeffs, jnp.clip(cos_impact, -1.0, 1.0))
+    # plain polynomial (IceCube hole ice) or a cutoff AngularSensitivity
+    # (Antares, GetAntaresOMAngularSensitivity.py)
+    p = p * angular_factor(angular_coeffs, cos_impact)
     p = p * efficiency
     return p
 

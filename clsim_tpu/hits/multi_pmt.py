@@ -31,17 +31,38 @@ class MultiPMTLayout(NamedTuple):
     cos_opening: float       # static
 
 
-def km3net_31_pmt_layout(cos_opening: float = 0.985) -> MultiPMTLayout:
-    """An idealized 31-PMT KM3NeT DOM: rings of PMTs in the lower and upper
-    hemispheres (the standard multi-PMT arrangement)."""
+# KM3NeT DOM ring arrangement (zenith angle from straight up, PMT count,
+# azimuth offset): 12 PMTs in two upper-hemisphere rings at 56 and 72 deg,
+# 18 in three lower rings at 107, 124 and 148 deg staggered by 30 deg, plus
+# one nadir PMT -- the published 31-PMT multi-PMT DOM design the reference
+# converter reads from its detector geometry service
+# (I3PhotonToMCHitConverterForMultiPMT.cxx:150-230 consumes per-PMT
+# direction records exactly like these).
+KM3NET_PMT_RINGS = [
+    (56.0, 6, 0.0),
+    (72.0, 6, 30.0),
+    (107.0, 6, 0.0),
+    (124.0, 6, 30.0),
+    (148.0, 6, 0.0),
+    (180.0, 1, 0.0),
+]
+
+
+def km3net_31_pmt_layout(om_radius: float = 0.2159,
+                         pmt_cathode_radius: float = 0.04
+                         ) -> MultiPMTLayout:
+    """The 31-PMT KM3NeT DOM from the published ring arrangement
+    (KM3NET_PMT_RINGS); the cathode opening half-angle follows from the
+    3-inch PMT photocathode radius against the 17-inch sphere."""
     dirs = []
-    rings = [(-1.0, 1), (-0.829, 6), (-0.5, 6), (-0.173, 6),
-             (0.173, 6), (0.5, 6)]
-    for cz, count in rings:
-        sz = np.sqrt(max(0.0, 1.0 - cz * cz))
+    for zen_deg, count, azi0_deg in KM3NET_PMT_RINGS:
+        cz = np.cos(np.radians(zen_deg))
+        sz = np.sin(np.radians(zen_deg))
         for k in range(count):
-            phi = 2 * np.pi * (k + (0.5 if count > 1 else 0)) / max(count, 1)
+            phi = np.radians(azi0_deg) + 2 * np.pi * k / max(count, 1)
             dirs.append([sz * np.cos(phi), sz * np.sin(phi), cz])
+    cos_opening = float(np.cos(np.arcsin(
+        min(pmt_cathode_radius / om_radius, 1.0))))
     return MultiPMTLayout(dirs=jnp.asarray(dirs, jnp.float32),
                           cos_opening=cos_opening)
 
@@ -85,9 +106,10 @@ def sample_multi_pmt_hits(rec: dict, rec_count, key,
     az = layout.dirs[pmt_c, 2]
     cos_impact = -(dx * ax + dy * ay + dz * az)
 
+    from .acceptance import angular_factor
     p = flat["weight"]
     p = p * eval_table(wlen_acceptance, flat["wavelength"])
-    p = p * eval_polynomial(angular_coeffs, jnp.clip(cos_impact, -1, 1))
+    p = p * angular_factor(angular_coeffs, cos_impact)
     p = p * efficiency
     u = jax.random.uniform(key, p.shape)
     accept = valid & (pmt >= 0) & (p > u)

@@ -76,13 +76,17 @@ def test_run_statistics_keys():
 
 
 def test_multi_pmt_assignment():
-    layout = km3net_31_pmt_layout(cos_opening=0.95)
-    # a hit exactly on the downward PMT
+    layout = km3net_31_pmt_layout()
+    assert layout.dirs.shape == (31, 3)
+    # 19 PMTs look down (lower hemisphere incl. nadir), 12 up
+    dz = np.asarray(layout.dirs[:, 2])
+    assert (dz < 0).sum() == 19 and (dz > 0).sum() == 12
+    # a hit exactly at the nadir lands on the 180-degree PMT (last ring)
     pmt = assign_pmts(layout, jnp.asarray([0.0]), jnp.asarray([0.0]),
                       jnp.asarray([-0.2]))
-    assert int(pmt[0]) == 0
-    # a hit between cathodes -> -1 with a tight opening
-    tight = km3net_31_pmt_layout(cos_opening=0.99999)
+    assert int(pmt[0]) == 30
+    # a hit between cathodes -> -1 with a tiny cathode
+    tight = km3net_31_pmt_layout(pmt_cathode_radius=1e-4)
     pmt2 = assign_pmts(tight, jnp.asarray([0.14]), jnp.asarray([0.0]),
                        jnp.asarray([-0.14]))
     assert int(pmt2[0]) == -1
