@@ -179,22 +179,28 @@ class FusedSpec(NamedTuple):
 
 def _split_bf16(tab, n):
     """n bf16 summands approximating an f32 table (exact one-hot selection
-    error ~2^-8 for n=1, ~2^-16 for n=2; ints < 2^16 exact at n=2)."""
+    error ~2^-8 for n=1, ~2^-16 for n=2; ints < 2^16 exact at n=2),
+    ROW-CONCATENATED so a fetch is ONE matmul: Mosaic issues strictly in
+    order with no MXU/VPU overlap (scripts/probe_pallas5.py), so two serial
+    half-precision dots cost twice the latency of one stacked dot."""
     parts = []
     rem = tab
     for _ in range(n):
         p = rem.astype(jnp.bfloat16)
         parts.append(p)
         rem = rem - p.astype(jnp.float32)
-    return tuple(parts)
+    return jnp.concatenate(parts, axis=0) if n > 1 else parts[0]
 
 
-def _fetch(splits, oh_bf16):
-    """sum_s splits[s] @ oh -- (C, L) x (L, BLK) -> (C, BLK) f32."""
-    out = None
-    for s in splits:
-        d = jnp.dot(s, oh_bf16, preferred_element_type=jnp.float32)
-        out = d if out is None else out + d
+def _fetch(cat, oh_bf16, n_splits=2):
+    """(n*C, L) stacked splits @ (L, BLK) one-hot -> folded (C, BLK) f32."""
+    d = jnp.dot(cat, oh_bf16, preferred_element_type=jnp.float32)
+    if n_splits == 1:
+        return d
+    C_ = cat.shape[0] // n_splits
+    out = d[0:C_]
+    for s in range(1, n_splits):
+        out = out + d[s * C_:(s + 1) * C_]
     return out
 
 
@@ -360,7 +366,7 @@ def _make_kernel(spec: FusedSpec):
             if spec.n_tables > 1:
                 oh = oh & (acu_col[:, 2:3] == st_f)
             ohf = oh.astype(jnp.bfloat16)
-            cols = _fetch(co_splits, ohf)                    # (5, BLK)
+            cols = _fetch(co_splits, ohf, spec.splits)       # (5, BLK)
             args = [tile(cols[c:c + 1]) for c in range(5)]
             return _interp_solve(tile(uw_f), *args)
 
@@ -371,7 +377,7 @@ def _make_kernel(spec: FusedSpec):
             bfrac = jnp.clip(bxi - bk, 0.0, 1.0)
             mk = (iota_bias == flat(bk).astype(jnp.int32)) \
                 .astype(jnp.bfloat16)                        # (nbpad, BLK)
-            fp = _fetch(bias_splits, mk)                     # (2, BLK)
+            fp = _fetch(bias_splits, mk, spec.splits)        # (2, BLK)
             f0 = tile(fp[0:1])
             f1 = tile(fp[1:2])
             return f0 + bfrac * (f1 - f0)
@@ -392,10 +398,10 @@ def _make_kernel(spec: FusedSpec):
             fz_below = 1.0 - fz_above
             nr = pf(PF_TILT_CA) * x + pf(PF_TILT_SA) * y
             iota_tz = jax.lax.broadcasted_iota(
-                jnp.int32, (tilt_splits[0].shape[1], BLK), 0)
+                jnp.int32, (tilt_splits.shape[1], BLK), 0)
             ohz = (iota_tz == flat(kz).astype(jnp.int32)) \
                 .astype(jnp.bfloat16)
-            rows = _fetch(tilt_splits, ohz)          # (2nd, BLK)
+            rows = _fetch(tilt_splits, ohz, spec.splits)  # (2nd, BLK)
             rows = rows.reshape(rows.shape[0], RB, LANES)
             # distance bracket [j-1, j], j in [1, nd-1] (linear extrapolation
             # outside the grid, exactly like medium/tilt.py:52-68)
@@ -551,7 +557,7 @@ def _make_kernel(spec: FusedSpec):
                     wfr = tile(jnp.clip(wxi - wk, 0.0, 1.0))
                     mw = (iota_wtab == wk.astype(jnp.int32)) \
                         .astype(jnp.bfloat16)
-                    wrows = _fetch(wtab_splits, mw)          # (16, BLK)
+                    wrows = _fetch(wtab_splits, mw, spec.splits)  # (16, BLK)
                     lerp = lambda r: (tile(wrows[r:r + 1])
                                       + wfr * (tile(wrows[r + 1:r + 2])
                                                - tile(wrows[r:r + 1])))
@@ -672,7 +678,7 @@ def _make_kernel(spec: FusedSpec):
 
             ohc = (iota_cells == flat(cell).astype(jnp.int32)) \
                 .astype(jnp.bfloat16)                        # (NCp, BLK)
-            cf = _fetch(cell_splits, ohc)                    # (n_feat*C, BLK)
+            cf = _fetch(cell_splits, ohc, spec.splits)       # (n_feat*C, BLK)
             sxc = cf[0 * C:1 * C]
             syc = cf[1 * C:2 * C]
             minzc = cf[2 * C:3 * C]
@@ -716,7 +722,7 @@ def _make_kernel(spec: FusedSpec):
             j0 = jnp.clip(j0f, 0.0, float(spec.L - 1))
 
             oh_w = (iota_L == flat(j0).astype(jnp.int32)).astype(jnp.bfloat16)
-            win = _fetch(walk_splits, oh_w)                  # (3Wp, BLK)
+            win = _fetch(walk_splits, oh_w, spec.splits)     # (3Wp, BLK)
             win3 = win.reshape(win.shape[0], RB, LANES)
 
             # per-photon optical coefficients were computed at spawn
@@ -891,7 +897,7 @@ def _make_kernel(spec: FusedSpec):
                     sflat = jnp.sum(mf * sic, axis=0, keepdims=True)
                     ohs = ((iota_S == sflat.astype(jnp.int32)) & s_ok) \
                         .astype(jnp.bfloat16)
-                    rel = _fetch(rel_splits, ohs)
+                    rel = _fetch(rel_splits, ohs, spec.splits)
                     # rows: dxr(Mp) dyr(Mp) dzr(Mp) valid(Mp) then 8 features
                     fxs = rel[4 * Mpad + 0:4 * Mpad + 1]
                     fys = rel[4 * Mpad + 1:4 * Mpad + 2]
@@ -1041,7 +1047,7 @@ def _make_kernel(spec: FusedSpec):
                 scmp = sacu_col[:, 0:1] <= us_f
                 snxt = sacu_col[:, 1:2] <= us_f
                 sohf = (scmp & ~snxt).astype(jnp.bfloat16)
-                scols = _fetch(sco_splits, sohf)             # (5, BLK)
+                scols = _fetch(sco_splits, sohf, spec.splits)  # (5, BLK)
                 sargs = [tile(scols[c:c + 1]) for c in range(5)]
                 angle = _interp_solve(tile(us_f), *sargs)
                 cos_s = jnp.where(u[5] < pf(PF_LIU_FRAC), ray,
