@@ -28,8 +28,12 @@ def scatter_direction_by_angle(cosa, sina, dx, dy, dz, u_azimuth):
 
     sinth = safe_sqrt(1.0 - dz * dz)
 
-    # general (non-vertical) branch
-    safe_sinth = jnp.maximum(sinth, 1e-20)
+    # general (non-vertical) branch.  The guard value for the vertical
+    # case must be O(1), NOT a tiny epsilon: the untaken branch still gets
+    # cotangents under AD, and 1/eps**2 overflows to inf -> where() turns
+    # it into NaN (the where-grad trap).  Primal unchanged (sinth > 0
+    # lanes divide by the true sinth).
+    safe_sinth = jnp.where(sinth > 0.0, sinth, 1.0)
     gx = dx * cosa - (dy * cosb + dz * dx * sinb) * sina / safe_sinth
     gy = dy * cosa + (dx * cosb - dz * dy * sinb) * sina / safe_sinth
     gz = dz * cosa + sina * sinb * sinth

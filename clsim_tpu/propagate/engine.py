@@ -531,7 +531,12 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
         # (propagation_kernel.c.cl:289-290); photons pass through DOMs and
         # die only at the fixed absorption-length horizon.  This is the
         # differentiable path: the weight is smooth in the ice parameters.
-        frac = hit_dist / jnp.maximum(d_prop, 1e-20)
+        # where-guarded division: max(d_prop, eps) leaves 1/eps^2 = inf in
+        # the tangent of dead lanes (d_prop == 0), which turns into NaN
+        # under full-pathwise AD (detach_trajectories=False)
+        has_dp = d_prop > 0.0
+        frac = jnp.where(has_dp,
+                         hit_dist / jnp.where(has_dp, d_prop, 1.0), 0.0)
         w_hit = w_hit * jnp.exp(-(tau_start + frac * tau_seg))
         if cfg.expected_angular_poly is not None:
             # fold the per-photon angular acceptance here, where the

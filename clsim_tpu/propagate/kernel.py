@@ -76,9 +76,29 @@ STATE_FIELDS = ["photons_left", "in_flight", "x", "y", "z", "t",
                 "dx", "dy", "dz", "w0", "inv_gv", "abs_left",
                 "gs", "pa", "qa", "ra", "pend_idx", "pend_w"]
 NSF = len(STATE_FIELDS)
+IDX_PEND_I, IDX_PEND_W = 16, 17
+
+# extra per-lane state carried only in photon-record mode (spec.records):
+# everything an I3Photon-parity record needs that the base state lacks.
+# A lane is DEAD from hit until its flush (stop-on-detection), so the
+# positional fields x/y/z/t freeze at the (corrected) hit values and the
+# flush reads them straight from state -- only spawn-time quantities and
+# counters need extra slots.
+REC_STATE_FIELDS = ["wlen", "start_x", "start_y", "start_z", "start_t",
+                    "sdx", "sdy", "sdz", "n_scat", "abs_init", "dist_abs"]
+NRSF = len(REC_STATE_FIELDS)
+
+# f32 rows per record-queue entry (dom/tbin and weight ride the existing
+# qidx/qw queues; theta/phi and derived fields are converted on the host)
+REC_QUEUE_FIELDS = ["pos_x", "pos_y", "pos_z", "time", "dir_x", "dir_y",
+                    "dir_z", "wavelength", "identifier", "start_x",
+                    "start_y", "start_z", "start_time", "start_dx",
+                    "start_dy", "start_dz", "inv_gv", "num_scatters",
+                    "dist_in_abs_lens"]
+NRQ = len(REC_QUEUE_FIELDS)
 
 STEP_FIELDS = ["x", "y", "z", "t", "dir_x", "dir_y", "dir_z",
-               "length", "beta", "weight", "source_type"]
+               "length", "beta", "weight", "source_type", "identifier"]
 NST = len(STEP_FIELDS)
 
 # scalar-parameter vector layout (SMEM f32)
@@ -175,6 +195,10 @@ class FusedSpec(NamedTuple):
     horizon: float = 0.0
     uniform_z: bool = False    # every string shares (z0, dz, nd): the affine
                                # path reads them from pf instead of 3 picks
+    records: bool = False      # photon-record mode (cfg.save_photons): extra
+                               # REC_STATE_FIELDS state + a second compacted
+                               # record queue (saveHit full-record analog,
+                               # propagation_kernel.c.cl:307-404)
 
 
 def _split_bf16(tab, n):
@@ -227,7 +251,7 @@ def _scatter_dir(cosa, sina, dx, dy, dz, u_azimuth):
     cosb = jnp.cos(b)
     sinb = jnp.sin(b)
     sinth = jnp.sqrt(jnp.maximum(1.0 - dz * dz, 0.0))
-    safe_sinth = jnp.maximum(sinth, 1e-20)
+    safe_sinth = jnp.where(sinth > 0.0, sinth, 1.0)
     gx = dx * cosa - (dy * cosb + dz * dx * sinb) * sina / safe_sinth
     gy = dy * cosa + (dx * cosb - dz * dy * sinb) * sina / safe_sinth
     gz = dz * cosa + sina * sinb * sinth
@@ -274,7 +298,14 @@ def _make_kernel(spec: FusedSpec):
     FMAX = spec.flush_rows * LANES
     ablate = frozenset(t for t in spec.ablate.split(",") if t)
 
+    nsf = NSF + (NRSF if spec.records else 0)
+
     def kernel(*refs):
+        if spec.records:
+            qrec_out = refs[-1]
+            refs = refs[:-1]
+        else:
+            qrec_out = None
         if spec.external_uniforms:
             (pf_ref, seed_ref, walk_ref, tilt_ref, acu_ref, co_ref,
              bias_ref, wtab_ref, sacu_ref, sco_ref, cell_ref, rel_ref,
@@ -294,6 +325,8 @@ def _make_kernel(spec: FusedSpec):
 
         qidx_out[:] = jnp.zeros_like(qidx_out[:])
         qw_out[:] = jnp.zeros_like(qw_out[:])
+        if spec.records:
+            qrec_out[:] = jnp.zeros_like(qrec_out[:])
 
         # ---- tables (VMEM-resident, bf16 split pairs precomputed) ----
         walk_splits = _split_bf16(walk_ref[:], spec.splits)   # (3Wp, Lpad)
@@ -427,8 +460,12 @@ def _make_kernel(spec: FusedSpec):
             val_hi = q_hh * fz_above + q_hl * fz_below
             return val_hi * frac_hi + val_lo * frac_lo
 
-        def flush(pend_idx, pend_w, head, n_dropped):
-            """Compact pending hits into the queue; returns cleared regs."""
+        def flush(pend_idx, pend_w, head, n_dropped, rec=None):
+            """Compact pending hits into the queue; returns cleared regs.
+            `rec` (records mode): dict of NRQ per-lane f32 rows flushed to
+            the record queue alongside (w, idx) through the same one-hot
+            MXU compaction (saveHit's full record write,
+            propagation_kernel.c.cl:307-404)."""
             fw = flat(pend_w)
             fi = flat(pend_idx)
             hit = fw > 0.0
@@ -454,26 +491,63 @@ def _make_kernel(spec: FusedSpec):
                 # value, so the bf16-rounded MXU output is exact)
                 w_hi = fw.astype(jnp.bfloat16)
                 w_lo = (fw - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                i_hi = jnp.floor(fi * (1.0 / 16384.0))
-                rem = fi - i_hi * 16384.0
-                i_mid = jnp.floor(rem * (1.0 / 128.0))
-                i_lo = rem - i_mid * 128.0
+
+                def digits3(v):
+                    d_hi = jnp.floor(v * (1.0 / 16384.0))
+                    rem_ = v - d_hi * 16384.0
+                    d_mid = jnp.floor(rem_ * (1.0 / 128.0))
+                    d_lo = rem_ - d_mid * 128.0
+                    return [d_hi.astype(jnp.bfloat16),
+                            d_mid.astype(jnp.bfloat16),
+                            d_lo.astype(jnp.bfloat16)]
+
+                def split_rows(v):
+                    v_hi = v.astype(jnp.bfloat16)
+                    v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    return [v_hi, v_lo]
+
+                rows = [w_hi, w_lo] + digits3(fi)
+                if rec is not None:
+                    # float fields as exact-per-row hi/lo splits; the integer
+                    # fields (identifier, num_scatters) as base-128 digits
+                    for name in REC_QUEUE_FIELDS:
+                        v = flat(rec[name])
+                        if name in ("identifier", "num_scatters"):
+                            rows += digits3(v)
+                        else:
+                            rows += split_rows(v)
+                n_rows = len(rows)
+                n_pad = (-n_rows) % 8
                 vals = jnp.concatenate(
-                    [w_hi, w_lo, i_hi.astype(jnp.bfloat16),
-                     i_mid.astype(jnp.bfloat16), i_lo.astype(jnp.bfloat16),
-                     jnp.zeros((3, BLK), jnp.bfloat16)], axis=0)  # (8, BLK)
+                    rows + [jnp.zeros((n_pad, BLK), jnp.bfloat16)],
+                    axis=0)                       # (n_rows+pad, BLK)
                 for f in range(spec.flush_rows):
                     ohf = ((iq == flat(relpos - f * LANES).astype(jnp.int32))
                            & (pos >= 0.0)).astype(jnp.bfloat16)
                     cols = jax.lax.dot_general(
                         ohf, vals, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # (128, 8)
+                        preferred_element_type=jnp.float32)   # (128, nrows)
                     rw = cols[:, 0:1] + cols[:, 1:2]
                     ri = cols[:, 2:3] * 16384.0 + cols[:, 3:4] * 128.0 \
                         + cols[:, 4:5]
                     packed = jnp.concatenate([rw, ri], axis=1)   # (128, 2)
                     rows2 = jnp.transpose(packed, (1, 0))        # (2, 128)
                     rr = jnp.minimum(row0 + f, spec.queue_rows - 1)
+                    if rec is not None:
+                        rcols = []
+                        c = 5
+                        for name in REC_QUEUE_FIELDS:
+                            if name in ("identifier", "num_scatters"):
+                                rcols.append(cols[:, c:c + 1] * 16384.0
+                                             + cols[:, c + 1:c + 2] * 128.0
+                                             + cols[:, c + 2:c + 3])
+                                c += 3
+                            else:
+                                rcols.append(cols[:, c:c + 1]
+                                             + cols[:, c + 1:c + 2])
+                                c += 2
+                        rrows = jnp.transpose(
+                            jnp.concatenate(rcols, axis=1), (1, 0))  # (NRQ,128)
 
                     @pl.when(row0 + f < spec.queue_rows)
                     def _():
@@ -481,6 +555,9 @@ def _make_kernel(spec: FusedSpec):
                             qw_out[pl.ds(rr, 1), :] + rows2[0:1]
                         qidx_out[pl.ds(rr, 1), :] = \
                             qidx_out[pl.ds(rr, 1), :] + rows2[1:2]
+                        if rec is not None:
+                            qrec_out[pl.ds(rr * NRQ, NRQ), :] = \
+                                qrec_out[pl.ds(rr * NRQ, NRQ), :] + rrows
 
             head = head + kept.astype(jnp.int32)
             n_dropped = n_dropped + (nh - kept)
@@ -496,8 +573,10 @@ def _make_kernel(spec: FusedSpec):
             spawn group instead of per iteration: the draw+convert leaves
             the per-iteration critical path)."""
             (photons_left, in_flight, x, y, z, t, dx, dy, dz, w0, inv_gv,
-             abs_left, gsv, pav, qav, rav, pend_idx, pend_w, head, n_gen,
-             n_hits, w_sum, n_dropped, n_work) = carry
+             abs_left, gsv, pav, qav, rav, pend_idx, pend_w) = carry[:NSF]
+            rv = (dict(zip(REC_STATE_FIELDS, carry[NSF:nsf]))
+                  if spec.records else None)
+            (head, n_gen, n_hits, w_sum, n_dropped, n_work) = carry[nsf:]
 
             if u_pre is not None:
                 # group-hoisted RAW bits (uint32; half the VMEM of holding
@@ -613,6 +692,18 @@ def _make_kernel(spec: FusedSpec):
                 w0 = sel(n_w0, w0)
                 inv_gv = sel(n_group / C_LIGHT, inv_gv)
                 abs_left = sel(abs_init, abs_left)
+                if spec.records:
+                    # spawn-time record state (I3Photon start fields)
+                    rv["wlen"] = sel(new_wlen, rv["wlen"])
+                    rv["start_x"] = sel(px, rv["start_x"])
+                    rv["start_y"] = sel(py, rv["start_y"])
+                    rv["start_z"] = sel(pz, rv["start_z"])
+                    rv["start_t"] = sel(pt, rv["start_t"])
+                    rv["sdx"] = sel(ndx, rv["sdx"])
+                    rv["sdy"] = sel(ndy, rv["sdy"])
+                    rv["sdz"] = sel(ndz, rv["sdz"])
+                    rv["n_scat"] = sel(jnp.zeros_like(x), rv["n_scat"])
+                    rv["abs_init"] = sel(abs_init, rv["abs_init"])
                 gsv = sel(n_gs, gsv); pav = sel(n_pa, pav)
                 qav = sel(n_qa, qav); rav = sel(n_ra, rav)
                 freshf = fresh.astype(jnp.float32)
@@ -831,10 +922,14 @@ def _make_kernel(spec: FusedSpec):
                     ranked = jnp.where(mask, BIG, ranked)
                     peel.append((mask.astype(jnp.float32), mi))
                 round_best, round_dom = [], []
+                round_ctr = []     # records: winner DOM center per round
                 for mf, mi in peel:
                     A2 = pick(A2c, mf)
                     Bd = pick(bd2, mf)
                     foff = pick(offc, mf)
+                    if spec.records:
+                        sx_r = pick(sxc, mf)
+                        sy_r = pick(syc, mf)
                     if spec.uniform_z:
                         # shared DOM z-grid: scalars replace 3 picks
                         fz0 = pf(PF_UZ_Z0)
@@ -873,14 +968,26 @@ def _make_kernel(spec: FusedSpec):
                         domb = jnp.where(good, foff + m, domb)
                     round_best.append(best)
                     round_dom.append(domb)
+                    if spec.records:
+                        round_ctr.append(
+                            (sx_r, sy_r, fz0 + fdzf * (domb - foff)))
                 hit_t = jnp.zeros_like(x, bool)
                 dist_t = d_prop
                 dom_t = jnp.zeros_like(x)
-                for best, domb in zip(round_best, round_dom):
+                ctr_x = jnp.zeros_like(x)
+                ctr_y = jnp.zeros_like(x)
+                ctr_z = jnp.zeros_like(x)
+                for ri_, (best, domb) in enumerate(zip(round_best,
+                                                       round_dom)):
                     closer = best < dist_t
                     hit_t = hit_t | closer
                     dom_t = jnp.where(closer, domb, dom_t)
                     dist_t = jnp.where(closer, best, dist_t)
+                    if spec.records:
+                        cx_r, cy_r, cz_r = round_ctr[ri_]
+                        ctr_x = jnp.where(closer, cx_r, ctr_x)
+                        ctr_y = jnp.where(closer, cy_r, ctr_y)
+                        ctr_z = jnp.where(closer, cz_r, ctr_z)
                 hit, hit_dist, hit_dom = hit_t, dist_t, dom_t
             else:
                 # general path: fetch the winner string's dense DOM-residual
@@ -892,6 +999,7 @@ def _make_kernel(spec: FusedSpec):
                     ranked = jnp.where(mask, BIG, ranked)
                     peel.append((mask.astype(jnp.float32), mi))
                 round_best, round_dom = [], []
+                round_ctr = []
                 for mf, mi in peel:
                     s_ok = mi < BIG
                     sflat = jnp.sum(mf * sic, axis=0, keepdims=True)
@@ -926,17 +1034,36 @@ def _make_kernel(spec: FusedSpec):
                                    axis=0, keepdims=True)
                     round_best.append(best)
                     round_dom.append(domb)
+                    if spec.records:
+                        onwin = sm == best
+                        round_ctr.append(tuple(
+                            jnp.max(jnp.where(onwin, v, -BIG), axis=0,
+                                    keepdims=True)
+                            for v in (dom_xx, dom_yy, dom_zz)))
                 hit_f = jnp.zeros((1, BLK), bool)
                 dist_f = fdp
                 dom_f = jnp.zeros((1, BLK), jnp.float32)
-                for best, domb in zip(round_best, round_dom):
+                ctr_xf = jnp.zeros((1, BLK), jnp.float32)
+                ctr_yf = jnp.zeros((1, BLK), jnp.float32)
+                ctr_zf = jnp.zeros((1, BLK), jnp.float32)
+                for ri_, (best, domb) in enumerate(zip(round_best,
+                                                       round_dom)):
                     found = best < dist_f
                     hit_f = hit_f | found
                     dom_f = jnp.where(found, domb, dom_f)
                     dist_f = jnp.where(found, best, dist_f)
+                    if spec.records:
+                        cxr, cyr, czr = round_ctr[ri_]
+                        ctr_xf = jnp.where(found, cxr, ctr_xf)
+                        ctr_yf = jnp.where(found, cyr, ctr_yf)
+                        ctr_zf = jnp.where(found, czr, ctr_zf)
                 hit = tile(hit_f.astype(jnp.float32)) > 0.5
                 hit_dist = tile(dist_f)
                 hit_dom = tile(dom_f)
+                if spec.records:
+                    ctr_x = tile(ctr_xf)
+                    ctr_y = tile(ctr_yf)
+                    ctr_z = tile(ctr_zf)
             if "nosphere" in ablate and "nocull" not in ablate:
                 # keep the cull live (data-dep on ranked), skip the DOM test
                 hit = tile(jnp.min(ranked, axis=0, keepdims=True)) < -BIG
@@ -964,7 +1091,9 @@ def _make_kernel(spec: FusedSpec):
                 # (engine.py:493-516); the photon passes through
                 tau_start = spec.horizon - abs_left
                 tau_seg = abs_left - abs_left_corr / abs_corr
-                frac = hit_dist / jnp.maximum(d_prop, 1e-20)
+                has_dp = d_prop > 0.0
+                frac = jnp.where(
+                    has_dp, hit_dist / jnp.where(has_dp, d_prop, 1.0), 0.0)
                 w_hit = w_hit * jnp.exp(-(tau_start + frac * tau_seg))
                 if spec.ang_poly:
                     ax_, ay_, az_ = spec.pmt_axis
@@ -1003,6 +1132,27 @@ def _make_kernel(spec: FusedSpec):
                 # died under stop-on-detection)
                 pend_idx = jnp.where(hit_act, flat_idx, pend_idx)
                 pend_w = jnp.where(hit_act, w_hit, pend_w)
+                if spec.records:
+                    # DOM-relative record position with the pancake
+                    # un-correction (engine.py record block /
+                    # propagation_kernel.c.cl:340-355): shift the DOM
+                    # center toward the closest-approach plane, then store
+                    # hit point minus that center.  x/y/z freeze at these
+                    # values after the advance (dead lane) so the flush
+                    # reads them from state.
+                    pxr = x - ctr_x
+                    pyr = y - ctr_y
+                    pzr = z - ctr_z
+                    par = pxr * dx + pyr * dy + pzr * dz
+                    fpk = (pancake - 1.0) / pancake
+                    ddx_c = ctr_x + fpk * (pxr - par * dx)
+                    ddy_c = ctr_y + fpk * (pyr - par * dy)
+                    ddz_c = ctr_z + fpk * (pzr - par * dz)
+                    rec_x = x + hit_dist * dx - ddx_c
+                    rec_y = y + hit_dist * dy - ddy_c
+                    rec_z = z + hit_dist * dz - ddz_c
+                    rv["dist_abs"] = jnp.where(
+                        hit_act, rv["abs_init"] - abs_left, rv["dist_abs"])
 
             # ---------- advance ----------
             actf = in_flight
@@ -1013,6 +1163,10 @@ def _make_kernel(spec: FusedSpec):
                 t = t + actf * inv_gv * d_prop
                 abs_left = jnp.where(active, abs_left_corr / abs_corr,
                                      abs_left)
+            if not spec.expected and spec.records:
+                x = jnp.where(hit_act, rec_x, x)
+                y = jnp.where(hit_act, rec_y, y)
+                z = jnp.where(hit_act, rec_z, z)
             # pre-retire activity: a photon's final segment counts as work
             n_work = n_work + jnp.sum(actf)
 
@@ -1078,6 +1232,9 @@ def _make_kernel(spec: FusedSpec):
             dx = jnp.where(do_scatter, sdx2, dx)
             dy = jnp.where(do_scatter, sdy2, dy)
             dz = jnp.where(do_scatter, sdz2, dz)
+            if spec.records:
+                rv["n_scat"] = rv["n_scat"] \
+                    + do_scatter.astype(jnp.float32)
 
             # ---------- retire ----------
             died = active & (absorbed | (abs_left < EPSILON))
@@ -1085,9 +1242,11 @@ def _make_kernel(spec: FusedSpec):
                 died = died | hit_act
             in_flight = jnp.where(died, 0.0, in_flight)
 
+            rtail = (tuple(rv[f] for f in REC_STATE_FIELDS)
+                     if spec.records else ())
             return (photons_left, in_flight, x, y, z, t, dx, dy, dz, w0,
-                    inv_gv, abs_left, gsv, pav, qav, rav, pend_idx, pend_w,
-                    head, n_gen, n_hits, w_sum, n_dropped, n_work)
+                    inv_gv, abs_left, gsv, pav, qav, rav, pend_idx, pend_w) \
+                + rtail + (head, n_gen, n_hits, w_sum, n_dropped, n_work)
 
         def outer_body(oi, carry):
             # flush_every inner iterations, then one unconditional flush
@@ -1131,15 +1290,36 @@ def _make_kernel(spec: FusedSpec):
                 if "noflush" in ablate or spec.expected:
                     # expected mode flushes inline per iteration; the
                     # pending registers stay zero
-                    zero_ = jnp.zeros_like(carry[NSF - 1])
+                    zero_ = jnp.zeros_like(carry[IDX_PEND_W])
                     pend_idx, pend_w, head, n_dropped = (
-                        zero_, zero_, carry[NSF], carry[NSF + 4])
+                        zero_, zero_, carry[nsf], carry[nsf + 4])
                 else:
+                    rec = None
+                    if spec.records:
+                        rm = dict(zip(REC_STATE_FIELDS, carry[NSF:nsf]))
+                        rec = {"pos_x": carry[2], "pos_y": carry[3],
+                               "pos_z": carry[4], "time": carry[5],
+                               "dir_x": carry[6], "dir_y": carry[7],
+                               "dir_z": carry[8],
+                               "wavelength": rm["wlen"],
+                               "identifier": stp["identifier"],
+                               "start_x": rm["start_x"],
+                               "start_y": rm["start_y"],
+                               "start_z": rm["start_z"],
+                               "start_time": rm["start_t"],
+                               "start_dx": rm["sdx"],
+                               "start_dy": rm["sdy"],
+                               "start_dz": rm["sdz"],
+                               "inv_gv": carry[10],
+                               "num_scatters": rm["n_scat"],
+                               "dist_in_abs_lens": rm["dist_abs"]}
                     pend_idx, pend_w, head, n_dropped = flush(
-                        carry[NSF - 2], carry[NSF - 1], carry[NSF],
-                        carry[NSF + 4])
-                return carry[:NSF - 2] + (pend_idx, pend_w, head) \
-                    + carry[NSF + 1:NSF + 4] + (n_dropped,) + carry[NSF + 5:]
+                        carry[IDX_PEND_I], carry[IDX_PEND_W], carry[nsf],
+                        carry[nsf + 4], rec=rec)
+                return carry[:IDX_PEND_I] + (pend_idx, pend_w) \
+                    + carry[IDX_PEND_W + 1:nsf] + (head,) \
+                    + carry[nsf + 1:nsf + 4] + (n_dropped,) \
+                    + carry[nsf + 5:]
 
             # per-block early exit: a drained block (no photons left to
             # spawn, none in flight, nothing pending) skips its physics --
@@ -1148,20 +1328,20 @@ def _make_kernel(spec: FusedSpec):
             # (propagation_kernel.c.cl:536): whole blocks retire instead of
             # lanes, so tail calls only pay for live blocks.
             block_live = (jnp.sum(carry[0]) + jnp.sum(carry[1])
-                          + jnp.sum(carry[NSF - 1])) > 0.0
+                          + jnp.sum(carry[IDX_PEND_W])) > 0.0
             return jax.lax.cond(block_live, live, lambda c: c, carry)
 
-        st = [ld(state_ref, f) for f in range(NSF)]
+        st = [ld(state_ref, f) for f in range(nsf)]
         zero = jnp.zeros((), jnp.float32)
         carry0 = tuple(st) + (jnp.zeros((), jnp.int32), zero, zero, zero,
                               zero, zero)
         final = jax.lax.fori_loop(0, T // spec.flush_every, outer_body,
                                   carry0)
 
-        for f in range(NSF):
+        for f in range(nsf):
             state_out[pl.ds(f * RB, RB), :] = final[f]
 
-        head, n_gen, n_hits, w_sum, n_dropped, n_work = final[NSF:]
+        head, n_gen, n_hits, w_sum, n_dropped, n_work = final[nsf:]
         alive = jnp.sum(((final[1] > 0.5) | (final[0] > 0.5))
                         .astype(jnp.float32))
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -1211,8 +1391,13 @@ def fused_supported(medium: MediumProperties, spectra: SpectrumTable,
             return "soft binning is fused only with estimator='expected'"
     elif cfg.estimator != "expected":
         return f"estimator {cfg.estimator!r} not fused"
-    if cfg.save_photons or cfg.save_all_photons:
-        return "photon records not fused"
+    if cfg.save_all_photons:
+        return "SAVE_ALL (record-at-absorption) not fused"
+    if cfg.save_photons:
+        if cfg.estimator != "detect" or not cfg.stop_on_detection:
+            return "photon records fused only with stopping detect"
+        if cfg.photon_history_entries > 0:
+            return "photon scatter-history records not fused"
     if cfg.fixed_abs_lens > 0 and cfg.estimator != "expected":
         return "fixed-absorption-length detect mode not fused"
     bx = np.asarray(spectra.bias_x)
@@ -1372,6 +1557,8 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         spawn_every=1 if external_uniforms else spawn_every,
         n_string_rounds=cfg.strings_per_photon,
         uniform_z=uniform_z,
+        records=bool(cfg.save_photons and not cfg.save_all_photons
+                     and cfg.estimator == "detect"),
         expected=cfg.estimator == "expected",
         soft=cfg.soft_binning,
         ang_poly=tuple(cfg.expected_angular_poly or ()),
@@ -1561,6 +1748,7 @@ def _make_call(spec: FusedSpec):
     RB = spec.block_lanes // LANES
     T = spec.iters_per_call
     nb = spec.n_blocks
+    nsf = NSF + (NRSF if spec.records else 0)
     kernel = _make_kernel(spec)
 
     fixed = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -1588,23 +1776,27 @@ def _make_call(spec: FusedSpec):
         fixed((8, spec.Spad) if spec.affine_doms
               else (4 * spec.Mpad + 8, spec.Spad)),       # rel
         perblk(NST * RB),                                 # steps
-        perblk(NSF * RB),                                 # state
+        perblk(nsf * RB),                                 # state
     ]
     if spec.external_uniforms:
         in_specs.append(perblk(T * 8 * RB))
 
     out_specs = [
-        perblk(NSF * RB),                                 # state out
+        perblk(nsf * RB),                                 # state out
         perblk(spec.queue_rows),                          # qidx
         perblk(spec.queue_rows),                          # qw
         perblk(8),                                        # counters
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((nb * NSF * RB, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((nb * nsf * RB, LANES), jnp.float32),
         jax.ShapeDtypeStruct((nb * spec.queue_rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((nb * spec.queue_rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((nb * 8, LANES), jnp.float32),
     ]
+    if spec.records:
+        out_specs.append(perblk(spec.queue_rows * NRQ))   # record queue
+        out_shape.append(jax.ShapeDtypeStruct(
+            (nb * spec.queue_rows * NRQ, LANES), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -1775,6 +1967,125 @@ def _run_fused(steps: StepBatch, medium: MediumProperties,
     ), totals
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "spec"))
+def _records_call(steps_p, state, medium, geo, spectra, seed_arr,
+                  cfg, spec, cell_tab, uniforms=None):
+    """One fused-kernel call in records mode (jitted; the call loop runs on
+    the host so record chunks can be appended dynamically)."""
+    (walk, tilt_tab, acu_col, co_tab, bias_tab, wtab, sacu_col, sco,
+     rel) = _build_tables(spec, medium, geo, spectra, cfg)
+    pf = _build_pf(medium, geo, spectra, cfg)
+    args = [pf, seed_arr, walk, tilt_tab, acu_col, co_tab, bias_tab,
+            wtab, sacu_col, sco, cell_tab, rel, steps_p, state]
+    if spec.external_uniforms:
+        args.append(uniforms)
+    return _make_call(spec)(*args)
+
+
+def _run_fused_records(steps: StepBatch, medium, geo, spectra, seed,
+                       cfg: PropagationConfig, spec: FusedSpec,
+                       max_calls: int, cell_tab, uniforms=None):
+    """Fused propagation with full photon records (cfg.save_photons): the
+    per-call loop runs host-side, appending each call's compacted record
+    queue -- records are unbounded across calls, unlike the fixed ring the
+    engine keeps per slot.  Output matches the engine's record contract
+    (rec dict + rec_count), shaped as one (1, N) ring so
+    records_to_photon_batch / sample_mcpes consume it unchanged."""
+    nb = spec.n_blocks
+    RB = spec.block_lanes // LANES
+    n = int(steps.x.shape[0])
+    steps_packed = pack_state_arrays(
+        [getattr(steps, f) for f in STEP_FIELDS], nb, RB)
+    zf = jnp.zeros(n, jnp.float32)
+    ones = jnp.ones(n, jnp.float32)
+    init_fields = {
+        "photons_left": steps.num_photons.astype(jnp.float32),
+        "in_flight": zf, "x": zf, "y": zf, "z": zf, "t": zf,
+        "dx": zf, "dy": zf, "dz": ones,
+        "w0": zf,
+        "inv_gv": jnp.full(n, 1.0 / 0.2, jnp.float32),
+        "abs_left": zf,
+        "gs": ones, "pa": zf, "qa": ones, "ra": zf,
+        "pend_idx": zf, "pend_w": zf,
+        # record-mode extras
+        "wlen": jnp.full(n, 400.0, jnp.float32),
+        "start_x": zf, "start_y": zf, "start_z": zf, "start_t": zf,
+        "sdx": zf, "sdy": zf, "sdz": ones, "n_scat": zf,
+        "abs_init": ones, "dist_abs": zf,
+    }
+    state = pack_state_arrays(
+        [init_fields[f] for f in STATE_FIELDS + REC_STATE_FIELDS], nb, RB)
+    nbins = cfg.hist_n_bins
+    hist = np.zeros(geo.n_doms * nbins, np.float64)
+    totals = np.zeros(7, np.float64)
+    chunks = []
+    calls = 0
+    for call_no in range(max_calls):
+        seed_arr = jnp.full((1,), int(seed) + call_no * 7919, jnp.int32)
+        state, qidx, qw, cnt, qrec = _records_call(
+            steps_packed, state, medium, geo, spectra, seed_arr,
+            cfg, spec, cell_tab, uniforms=uniforms)
+        calls += 1
+        csum = np.asarray(cnt, np.float64)[:, :7].sum(axis=0)
+        totals += csum
+        qwn = np.asarray(qw, np.float64).reshape(-1)
+        valid = qwn > 0.0
+        if valid.any():
+            qin = np.asarray(qidx, np.float64).reshape(-1)
+            np.add.at(hist, qin[valid].astype(np.int64), qwn[valid])
+            qrn = np.asarray(qrec, np.float64).reshape(
+                nb, spec.queue_rows, NRQ, LANES)
+            qrn = qrn.transpose(0, 1, 3, 2).reshape(-1, NRQ)
+            chunks.append((qrn[valid], qin[valid], qwn[valid]))
+        if csum[CNT_ALIVE] == 0.0:
+            break
+    totals[CNT_ALIVE] = csum[CNT_ALIVE]
+
+    if chunks:
+        raw = np.concatenate([c[0] for c in chunks], axis=0)
+        qidx_all = np.concatenate([c[1] for c in chunks])
+        w_all = np.concatenate([c[2] for c in chunks])
+    else:
+        raw = np.zeros((0, NRQ))
+        qidx_all = np.zeros(0)
+        w_all = np.zeros(0)
+    f = {name: raw[:, k] for k, name in enumerate(REC_QUEUE_FIELDS)}
+    dx_, dy_, dz_ = f["dir_x"], f["dir_y"], f["dir_z"]
+    sdx_, sdy_, sdz_ = f["start_dx"], f["start_dy"], f["start_dz"]
+    inv_gv = np.maximum(f["inv_gv"], 1e-20)
+    one_row = lambda a: jnp.asarray(a, jnp.float32)[None, :]
+    rec = {
+        "pos_x": one_row(f["pos_x"]), "pos_y": one_row(f["pos_y"]),
+        "pos_z": one_row(f["pos_z"]), "time": one_row(f["time"]),
+        "dir_theta": one_row(np.arccos(np.clip(dz_, -1, 1))),
+        "dir_phi": one_row(np.mod(np.arctan2(dy_, dx_), 2.0 * np.pi)),
+        "wavelength": one_row(f["wavelength"]),
+        "cherenkov_dist": one_row(
+            (f["time"] - f["start_time"]) / inv_gv),
+        "num_scatters": one_row(f["num_scatters"]),
+        "weight": one_row(w_all),
+        "identifier": one_row(f["identifier"]),
+        "dom": one_row(np.floor(qidx_all / nbins)),
+        "start_x": one_row(f["start_x"]), "start_y": one_row(f["start_y"]),
+        "start_z": one_row(f["start_z"]),
+        "start_time": one_row(f["start_time"]),
+        "start_theta": one_row(np.arccos(np.clip(sdz_, -1, 1))),
+        "start_phi": one_row(np.mod(np.arctan2(sdy_, sdx_),
+                                    2.0 * np.pi)),
+        "group_velocity": one_row(1.0 / inv_gv),
+        "dist_in_abs_lens": one_row(f["dist_in_abs_lens"]),
+    }
+    res = PropagationResult(
+        hist=jnp.asarray(hist.reshape(geo.n_doms, nbins), jnp.float32),
+        n_generated=jnp.asarray(totals[CNT_GEN], jnp.float32),
+        n_hits=jnp.asarray(totals[CNT_HITS], jnp.float32),
+        weight_hits=jnp.asarray(totals[CNT_WSUM], jnp.float32),
+        n_iterations=jnp.asarray(calls * spec.iters_per_call, jnp.int32),
+        rec_count=jnp.asarray([raw.shape[0]], jnp.int32),
+        rec=rec)
+    return res, jnp.asarray(totals, jnp.float32)
+
+
 def propagate_fused(steps: StepBatch, medium: MediumProperties,
                     geo: DetectorGeometry, spectra: SpectrumTable,
                     seed: int, cfg: PropagationConfig,
@@ -1826,13 +2137,18 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
                        spawn_every=spawn_every, plan=plan)
     if uniforms is not None:
         uniforms = _layout_uniforms(uniforms, spec)
-    res, totals = _run_fused(steps, medium, geo, spectra, int(seed), cfg,
-                             spec, max_calls, scatter_cap,
-                             cell_tab=jnp.asarray(cell_tab),
-                             uniforms=uniforms,
-                             repack=repack and (uniforms is None
-                                                or allow_uniform_replay),
-                             balance=balance)
+    if spec.records:
+        res, totals = _run_fused_records(
+            steps, medium, geo, spectra, int(seed), cfg, spec, max_calls,
+            cell_tab=jnp.asarray(cell_tab), uniforms=uniforms)
+    else:
+        res, totals = _run_fused(steps, medium, geo, spectra, int(seed),
+                                 cfg, spec, max_calls, scatter_cap,
+                                 cell_tab=jnp.asarray(cell_tab),
+                                 uniforms=uniforms,
+                                 repack=repack and (uniforms is None
+                                                    or allow_uniform_replay),
+                                 balance=balance)
     return res, totals
 
 

@@ -238,7 +238,10 @@ def test_fused_supported_gates():
     assert FK.fused_supported(medium, spectra, ok) is None
     bad = dataclasses.replace(cfg, stop_on_detection=False)
     assert FK.fused_supported(medium, spectra, bad) is not None
-    bad = dataclasses.replace(cfg, save_photons=True)
+    # photon records ARE fused now (stopping detect); SAVE_ALL is not
+    ok2 = dataclasses.replace(cfg, save_photons=True)
+    assert FK.fused_supported(medium, spectra, ok2) is None
+    bad = dataclasses.replace(cfg, save_photons=True, save_all_photons=True)
     assert FK.fused_supported(medium, spectra, bad) is not None
     # a water-kind medium missing its tables must fall back, but a real
     # water medium (Antares) is fused
@@ -458,3 +461,67 @@ def test_advise_strings_per_photon():
                                  dom_spacing=17.0, z_top=80.0)
     rec2, reason2 = advise_strings_per_photon(hex_geo, 35.0, configured=2)
     assert reason2 is None
+
+
+def test_fused_photon_records_match_engine():
+    """Fused record queue vs engine record rings on the SAME uniform
+    stream: the record sets (dom, time, wavelength, weight, positions,
+    start fields, counters) must agree (round-2 review item 5: the
+    two-phase MakePhotons flow at fast-path speed; saveHit record write,
+    propagation_kernel.c.cl:307-404)."""
+    medium, geo, spectra, cfg, steps, uniforms = _workload(aniso=True,
+                                                           tilt=True)
+    cfg = dataclasses.replace(cfg, save_photons=True)
+
+    res_k, totals = FK.propagate_fused(
+        steps, medium, geo, spectra, seed=0, cfg=cfg,
+        iters_per_call=T, flush_every=1, queue_rows=32,
+        block_lanes=1024, max_calls=1, uniforms=uniforms, interpret=True)
+    n_rec = int(res_k.rec_count[0])
+    assert n_rec > 20
+    assert float(totals[FK.CNT_HITS]) == n_rec
+
+    _, acc = _run_engine_with_uniforms(steps, medium, geo, spectra, cfg,
+                                       uniforms)
+    cnt_e = np.asarray(acc.rec_count)
+    cap = cfg.photon_capacity_per_slot
+    valid_e = (np.arange(cap)[None, :] < np.minimum(cnt_e, cap)[:, None])
+    assert int(valid_e.sum()) == n_rec
+
+    def flat_e(k):
+        return np.asarray(acc.rec[k])[valid_e]
+
+    def flat_k(k):
+        return np.asarray(res_k.rec[k])[0]
+
+    order_e = np.lexsort((flat_e("time"), flat_e("dom")))
+    order_k = np.lexsort((flat_k("time"), flat_k("dom")))
+    for key, tol in [("dom", 1e-6), ("time", 1e-2), ("wavelength", 1e-2),
+                     ("weight", 1e-3), ("pos_x", 2e-2), ("pos_y", 2e-2),
+                     ("pos_z", 2e-2), ("start_x", 2e-2), ("start_time", 1e-2),
+                     ("num_scatters", 1e-6), ("dir_theta", 1e-3),
+                     ("dir_phi", 1e-3), ("group_velocity", 2e-4),
+                     ("cherenkov_dist", 0.1), ("dist_in_abs_lens", 2e-2),
+                     ("start_theta", 1e-3)]:
+        e = flat_e(key)[order_e]
+        k = flat_k(key)[order_k]
+        np.testing.assert_allclose(k, e, atol=tol, rtol=1e-3,
+                                   err_msg=key)
+
+
+def test_fused_records_two_phase_flow():
+    """Fused records feed records_to_photon_batch / sample_mcpes unchanged
+    (the MakePhotons -> MakeHitsFromPhotons contract)."""
+    from clsim_tpu.hits.photons import records_to_photon_batch
+    medium, geo, spectra, cfg, steps, uniforms = _workload()
+    cfg = dataclasses.replace(cfg, save_photons=True)
+    res_k, totals = FK.propagate_fused(
+        steps, medium, geo, spectra, seed=0, cfg=cfg,
+        iters_per_call=T, flush_every=2, queue_rows=32,
+        block_lanes=1024, max_calls=1, uniforms=uniforms, interpret=True)
+    batch = records_to_photon_batch(res_k.rec, res_k.rec_count, geo)
+    assert batch.string_id.shape[0] == int(res_k.rec_count[0])
+    assert (batch.wavelength > 200).all() and (batch.wavelength < 800).all()
+    # DOM-relative positions: inside (oversized, pancaked) collision range
+    r = np.sqrt(batch.pos_x ** 2 + batch.pos_y ** 2 + batch.pos_z ** 2)
+    assert (r <= geo.collision_radius * 1.05).all()
