@@ -151,33 +151,46 @@ def main():
                                           8 if on_cpu else 50))
     backend = os.environ.get("BENCH_BACKEND", "auto")
 
-    medium, geo, spectra, cfg, steps = build_workload(n_slots, photons_per_slot)
-    steps = StepBatch(*[jnp.asarray(f) for f in steps])
+    def measure(geo_name):
+        os.environ["BENCH_GEO"] = geo_name
+        medium, geo, spectra, cfg, steps = build_workload(n_slots,
+                                                          photons_per_slot)
+        steps_j = StepBatch(*[jnp.asarray(f) for f in steps])
 
-    def run(seed):
-        res = propagate_auto(steps, medium, geo, spectra, int(seed), cfg,
-                             backend=backend, max_calls=512)
-        # note: block_until_ready is unreliable on the axon TPU relay --
-        # force a host transfer to synchronize
-        return float(res.n_generated), float(jnp.sum(res.hist))
+        def run(seed):
+            res = propagate_auto(steps_j, medium, geo, spectra, int(seed),
+                                 cfg, backend=backend, max_calls=512)
+            # note: block_until_ready is unreliable on the axon TPU relay --
+            # force a host transfer to synchronize
+            return float(res.n_generated), float(jnp.sum(res.hist))
 
-    run(99)  # warmup / compile
+        run(99)  # warmup / compile
+        reps = 1 if on_cpu else 3
+        t0 = time.perf_counter()
+        total_photons = 0.0
+        for r in range(reps):
+            ng, _ = run(100 + r)
+            total_photons += ng
+        return total_photons / (time.perf_counter() - t0)
 
-    reps = 1 if on_cpu else 3
-    t0 = time.perf_counter()
-    total_photons = 0.0
-    for r in range(reps):
-        ng, _ = run(100 + r)
-        total_photons += ng
-    dt = time.perf_counter() - t0
-
-    photons_per_s = total_photons / dt
-    print(json.dumps({
+    # headline: the requested geometry (hex61 default); the irregular
+    # 86-string detector is ALWAYS measured alongside so the reported
+    # number cannot hide a non-uniform-geometry cliff (round-2 review
+    # item 2; the reference benchmark runs the real 86-string GCD,
+    # resources/scripts/benchmark.py:297-340)
+    headline_geo = os.environ.get("BENCH_GEO", "hex61")
+    v_head = measure(headline_geo)
+    other = "ic86" if headline_geo != "ic86" else "hex61"
+    v_other = measure(other)
+    out = {
         "metric": "photons_propagated_per_s_per_chip",
-        "value": photons_per_s,
+        "value": v_head,
         "unit": "photons/s",
-        "vs_baseline": photons_per_s / TARGET,
-    }))
+        "vs_baseline": v_head / TARGET,
+        headline_geo: v_head,
+        other: v_other,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
