@@ -156,11 +156,13 @@ def merge_mcpes(dom, time, ident, window_ns: float):
     return dom[first], time[first], npe, ident[first]
 
 
-def expected_mcpe_factor(wlen_acceptance: TableParams, spectrum_x, spectrum_pdf,
-                         angular_coeffs=None):
+def expected_mcpe_factor(wlen_acceptance: TableParams, spectrum_x,
+                         spectrum_pdf):
     """Spectrum-averaged wavelength acceptance (for scaling per-DOM time
     histograms in the differentiable path, where per-photon wavelengths are
-    already marginalized into the histogram)."""
+    already marginalized into the histogram).  The angular factor is folded
+    in at propagation time via cfg.expected_angular_poly
+    (engine.py expected-deposit block), not here."""
     acc = eval_table(wlen_acceptance, spectrum_x)
     w = spectrum_pdf / jnp.sum(spectrum_pdf)
     return jnp.sum(acc * w)

@@ -565,7 +565,7 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
                                    w_hit * (1.0 - frac_hi), cap)
         hist = compact_scatter_add(hist, hit_dom * cfg.hist_n_bins + tbin_hi,
                                    w_hit * frac_hi, cap)
-    elif True:
+    else:
         hist = compact_scatter_add(acc.hist, flat_idx, w_hit, cap)
     acc = acc._replace(
         hist=hist,

@@ -36,12 +36,13 @@ relay):
     (propagation_kernel.c.cl:329) with a deterministic scan.  The histogram
     scatter-add runs OUTSIDE the kernel on the compacted queue.
 
-Supported (static) configuration: icecube-family media (incl. the
-separable-table photonics kind via tabulated factors is NOT yet wired --
-engine fallback), any number of stacked spectra (flasher source_type
-dispatch), "detect" estimator with stop_on_detection, hard binning, no
-photon records.  `fused_supported()` reports whether a config can take
-this path; api/bench fall back to the engine otherwise.
+Supported (static) configuration: icecube / water / separable-table
+(photonics) media, any number of stacked spectra (flasher source_type
+dispatch), tabulated scattering, the stopping "detect" estimator (with or
+without photon records -- spec.records adds a second compacted record
+queue) and the "expected" differentiable estimator (soft or hard binning).
+`fused_supported()` reports whether a config can take this path; api/bench
+fall back to the engine otherwise.
 """
 
 from __future__ import annotations
@@ -114,7 +115,8 @@ PF_WTAB_INV_DX = 51
 PF_UZ_Z0 = 52          # uniform-z geometry: shared DOM z-grid (z0, dz, nd)
 PF_UZ_DZ = 53          #   -- lets the affine collision path skip 3 of its
 PF_UZ_ND = 54          #   6 per-round winner-feature picks
-PF_LEN = 55
+PF_BIAS_XMAX = 55      # last bias grid point (non-uniform bias clamp)
+PF_LEN = 56
 
 (CNT_GEN, CNT_HITS, CNT_WSUM, CNT_DROPPED, CNT_ALIVE, CNT_QUEUED,
  CNT_WORK) = range(7)
@@ -139,13 +141,16 @@ class FusedSpec(NamedTuple):
                            # the kernel generateWavelength(sourceType) switch,
                            # propagation_kernel.c.cl:153-183)
     n_bias: int
-    nz_tilt: int           # tilt z-grid points (0 = tilt disabled)
-    nd_tilt: int
-    aniso: bool
-    hist_n_bins: int
-    splits: int            # bf16 summands per table fetch (2 = ~2^-16 rel)
-    external_uniforms: bool
-    interpret: bool
+    bias_uniform: bool = True  # uniform bias grid: index math; else dense
+                               # segment-compare locate (same linear interp
+                               # as ops/spectrum.wavelength_bias)
+    nz_tilt: int = 0       # tilt z-grid points (0 = tilt disabled)
+    nd_tilt: int = 0
+    aniso: bool = False
+    hist_n_bins: int = 512
+    splits: int = 2        # bf16 summands per table fetch (2 = ~2^-16 rel)
+    external_uniforms: bool = False
+    interpret: bool = False
     ablate: str = ""       # comma-joined stage names to skip (perf probes
                            # only; "" in production)
     affine_doms: bool = False  # DOMs sit exactly on vertical strings at
@@ -336,7 +341,11 @@ def _make_kernel(spec: FusedSpec):
             tilt_splits = _split_bf16(tilt_ref[:], spec.splits)  # (2nd, nzp)
         acu_col = acu_ref[:]          # (rows, 4)
         co_splits = _split_bf16(co_ref[:], spec.splits)  # (5, nseg_pad)
-        bias_splits = _split_bf16(bias_ref[:], spec.splits)  # (2, nbpad)
+        bias_splits = _split_bf16(bias_ref[:], spec.splits)  # (8, nbpad)
+        if not spec.bias_uniform:
+            # segment compare columns (x0, x1_cmp) -- transposed once
+            bias_x0c = jnp.transpose(bias_ref[2:3, :], (1, 0))
+            bias_x1c = jnp.transpose(bias_ref[4:5, :], (1, 0))
         # feature-major cell rows [sx sy minz maxz maxr2 off | z0 dzf nd |
         # sidx]; uniform-z affine mode needs only the first 6 blocks, the
         # general path all 10 (the fetch cost scales with rows)
@@ -404,15 +413,30 @@ def _make_kernel(spec: FusedSpec):
             return _interp_solve(tile(uw_f), *args)
 
         def wavelength_bias(wl):
-            """Uniform-grid bias interp; bf16-split MXU fetch, tiled."""
-            bxi = (wl - pf(PF_BIAS_X0)) * pf(PF_BIAS_INV_DX)
-            bk = jnp.clip(jnp.floor(bxi), 0.0, float(spec.n_bias - 2))
-            bfrac = jnp.clip(bxi - bk, 0.0, 1.0)
-            mk = (iota_bias == flat(bk).astype(jnp.int32)) \
-                .astype(jnp.bfloat16)                        # (nbpad, BLK)
-            fp = _fetch(bias_splits, mk, spec.splits)        # (2, BLK)
+            """Bias interp; bf16-split MXU fetch, tiled.  Uniform grids use
+            index math; non-uniform grids locate the segment with a dense
+            compare (the acu pattern) -- same linear interpolation as the
+            engine's jnp.interp with edge clamping."""
+            if spec.bias_uniform:
+                bxi = (wl - pf(PF_BIAS_X0)) * pf(PF_BIAS_INV_DX)
+                bk = jnp.clip(jnp.floor(bxi), 0.0, float(spec.n_bias - 2))
+                bfrac = jnp.clip(bxi - bk, 0.0, 1.0)
+                mk = (iota_bias == flat(bk).astype(jnp.int32)) \
+                    .astype(jnp.bfloat16)                    # (nbpad, BLK)
+                fp = _fetch(bias_splits, mk, spec.splits)    # (8, BLK)
+                f0 = tile(fp[0:1])
+                f1 = tile(fp[1:2])
+                return f0 + bfrac * (f1 - f0)
+            wlc = jnp.clip(wl, pf(PF_BIAS_X0), pf(PF_BIAS_XMAX))
+            fw = flat(wlc)
+            oh = ((bias_x0c <= fw) & ~(bias_x1c <= fw)).astype(jnp.bfloat16)
+            fp = _fetch(bias_splits, oh, spec.splits)        # (8, BLK)
             f0 = tile(fp[0:1])
             f1 = tile(fp[1:2])
+            x0 = tile(fp[2:3])
+            x1 = tile(fp[3:4])
+            bfrac = jnp.clip((wlc - x0) / jnp.maximum(x1 - x0, 1e-9),
+                             0.0, 1.0)
             return f0 + bfrac * (f1 - f0)
 
         def tilt_shift(x, y, z):
@@ -1400,10 +1424,6 @@ def fused_supported(medium: MediumProperties, spectra: SpectrumTable,
             return "photon scatter-history records not fused"
     if cfg.fixed_abs_lens > 0 and cfg.estimator != "expected":
         return "fixed-absorption-length detect mode not fused"
-    bx = np.asarray(spectra.bias_x)
-    if bx.shape[0] >= 2 and not np.allclose(np.diff(bx), bx[1] - bx[0],
-                                            rtol=1e-5):
-        return "non-uniform bias grid"
     return None
 
 
@@ -1544,6 +1564,12 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         n_spec=int(np.shape(spectra.x)[1]),
         n_tables=int(np.shape(spectra.x)[0]),
         n_bias=int(np.shape(spectra.bias_x)[0]),
+        bias_uniform=bool(
+            np.shape(spectra.bias_x)[0] < 2
+            or np.allclose(np.diff(np.asarray(spectra.bias_x)),
+                           float(np.asarray(spectra.bias_x)[1])
+                           - float(np.asarray(spectra.bias_x)[0]),
+                           rtol=1e-5)),
         nz_tilt=nz if tilt_enabled else 0,
         nd_tilt=nd,
         aniso=medium.anisotropy.enabled,
@@ -1628,7 +1654,17 @@ def _build_tables(spec: FusedSpec, medium: MediumProperties,
     acu_col = jnp.concatenate(acu_blocks, axis=0)   # (n_tables*npad, 4)
 
     by = jnp.asarray(spectra.bias_y, jnp.float32)
-    bias_tab = _pad2(jnp.stack([by[:-1], by[1:]], axis=0))    # (2->8, nbpad)
+    bx = jnp.asarray(spectra.bias_x, jnp.float32)
+    # rows [y0, y1, x0, x1, x1_cmp]: x1_cmp's LAST segment is pushed past
+    # the grid end so the clamp-to-xmax wavelength still selects exactly one
+    # segment; padded columns get x0 = BIG (never selected)
+    x1cmp = jnp.concatenate([bx[1:-1], bx[-1:] + 1.0])
+    bias_tab = _pad2(jnp.stack([by[:-1], by[1:], bx[:-1], bx[1:], x1cmp],
+                               axis=0))                       # (5->8, nbpad)
+    nbp = bias_tab.shape[1]
+    if nbp > spec.n_bias - 1:
+        pad_col = jnp.zeros(nbp - (spec.n_bias - 1), jnp.float32) + BIG
+        bias_tab = bias_tab.at[2, spec.n_bias - 1:].set(pad_col)
 
     # water/photonics wavelength-factor tables (rows: gs/pa/qa/ra [n g] as
     # (k, k+1) pairs for the spawn-time lerp fetch)
@@ -1706,6 +1742,7 @@ def _build_pf(medium: MediumProperties, geo: DetectorGeometry,
         PF_INV_HIST_DT: 1.0 / cfg.hist_dt,
         PF_BIAS_X0: spectra.bias_x[0],
         PF_BIAS_INV_DX: 1.0 / (spectra.bias_x[1] - spectra.bias_x[0]),
+        PF_BIAS_XMAX: spectra.bias_x[-1],
         # shared DOM z-grid for uniform-z geometries (read only when
         # spec.uniform_z; harmless otherwise)
         PF_UZ_Z0: geo.string_features[0, 4],

@@ -525,3 +525,27 @@ def test_fused_records_two_phase_flow():
     # DOM-relative positions: inside (oversized, pancaked) collision range
     r = np.sqrt(batch.pos_x ** 2 + batch.pos_y ** 2 + batch.pos_z ** 2)
     assert (r <= geo.collision_radius * 1.05).all()
+
+
+def test_kernel_nonuniform_bias_matches_engine():
+    """Non-uniform bias grids are fused via a dense segment-compare locate
+    (round-2 review Missing #6: they silently dropped to the engine); the
+    weights must match the engine's jnp.interp linear interpolation."""
+    medium, geo, spectra0, cfg, steps, uniforms = _workload()
+    # log-spaced bias grid over the spectrum range with structure
+    bx = np.geomspace(265.0, 675.0, 23)
+    by = 0.2 + 0.15 * np.sin(np.linspace(0, 5, 23)) ** 2
+    spectra = stack_spectra([make_cherenkov_spectrum(
+        DEFAULT_ICE_REF_INDEX, 265.0, 675.0, bias_wlen_nm=bx,
+        bias_values=by)])
+    assert FK.fused_supported(medium, spectra, cfg) is None
+    state_e, acc_e = _run_engine_with_uniforms(steps, medium, geo, spectra,
+                                               cfg, uniforms)
+    res_k, totals = _run_kernel(steps, medium, geo, spectra, cfg, uniforms)
+    # weights are 1/bias-weighted: compare the weighted histograms
+    he = np.asarray(acc_e.hist, np.float64)
+    hk = np.asarray(res_k.hist, np.float64).reshape(-1)
+    assert float(totals[FK.CNT_GEN]) == float(acc_e.n_generated)
+    assert he.sum() > 10.0
+    l1 = np.abs(he - hk).sum()
+    assert l1 <= 4e-3 * he.sum() + 1e-6, (l1, he.sum())
