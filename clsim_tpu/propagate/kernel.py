@@ -853,43 +853,71 @@ def _make_kernel(spec: FusedSpec):
             t_bound0 = jnp.where(t_bound0 < 0.0, BIG, t_bound0)
             t_step = jnp.where(vertical, BIG, hL / jnp.maximum(abs_dz, 1e-20))
 
-            def layer_vals(k):
-                b = jnp.where(going_up, win3[K + k], win3[K - k])
-                a = jnp.where(going_up, win3[W + K + k], win3[W + K - k])
-                dt_ = jnp.where(going_up, win3[2 * W + K + k],
-                                win3[2 * W + K - k])
-                return gs * b, pa * a + qa + ra * dt_
+            # ---- stacked prefix-sum walk: identical semantics to the old
+            # sequential K+1-step loop (including the post-loop closure with
+            # the outermost window column -- algebraically the forced last
+            # row below), but as ~30 WIDE ops on (K+1)*RB-row stacks instead
+            # of ~90 narrow serially-dependent ops.  Mosaic issues strictly
+            # in order with no cross-chain overlap (probe_pallas5), so op
+            # count/width IS the cost model.
+            Kp1 = K + 1
+            st2 = lambda a3: a3.reshape(Kp1 * RB, LANES)
+            rep = lambda v: jnp.concatenate([v] * Kp1, axis=0)
+            up_m = rep(going_up)
+            b_dir = jnp.where(up_m, st2(win3[K:2 * K + 1]),
+                              st2(jnp.flip(win3[0:Kp1], axis=0)))
+            a_dir = jnp.where(up_m, st2(win3[W + K:W + 2 * K + 1]),
+                              st2(jnp.flip(win3[W:W + Kp1], axis=0)))
+            dt_dir = jnp.where(up_m, st2(win3[2 * W + K:2 * W + 2 * K + 1]),
+                               st2(jnp.flip(win3[2 * W:2 * W + Kp1],
+                                            axis=0)))
+            inv_s_all = rep(gs) * b_dir
+            inv_a_all = rep(pa) * a_dir + rep(qa) + rep(ra) * dt_dir
+            kconst = jnp.concatenate(
+                [jnp.full((RB, LANES), float(k), jnp.float32)
+                 for k in range(Kp1)], axis=0)
+            tb0_r = rep(t_bound0)
+            tst_r = rep(t_step)
+            t_prev = jnp.where(kconst == 0.0, 0.0,
+                               tb0_r + (kconst - 1.0) * tst_r)
+            t_k = tb0_r + kconst * tst_r
+            li = jnp.where(kconst == 0.0, tb0_r, tst_r)
+            # exclusive prefix sums of the per-layer optical depths
+            cs3 = (li * inv_s_all).reshape(Kp1, RB, LANES)
+            ca3 = (li * inv_a_all).reshape(Kp1, RB, LANES)
+            accs = jnp.zeros((RB, LANES), jnp.float32)
+            acca = jnp.zeros((RB, LANES), jnp.float32)
+            CS_list, CA_list = [accs], [acca]
+            for k in range(1, Kp1):
+                accs = accs + cs3[k - 1]
+                acca = acca + ca3[k - 1]
+                CS_list.append(accs)
+                CA_list.append(acca)
+            tau_s_all = rep(sca_budget) - jnp.concatenate(CS_list, axis=0)
+            tau_a_all = rep(abs_budget) - jnp.concatenate(CA_list, axis=0)
+            ds_all = t_prev + tau_s_all / inv_s_all
+            da_all = t_prev + tau_a_all / inv_a_all
+            cur_j = rep(j0) + kconst * rep(jnp.where(going_up, 1.0, -1.0))
+            at_edge = (up_m & (cur_j >= spec.L - 1)) \
+                | ((~up_m) & (cur_j <= 0))
+            cond = (t_k >= jnp.minimum(ds_all, da_all)) | at_edge \
+                | (t_k >= max_seg) | (kconst >= float(K))
+            c3 = cond.reshape(Kp1, RB, LANES)
+            seen = jnp.zeros((RB, LANES), bool)
+            firsts = []
+            for k in range(Kp1):
+                firsts.append((c3[k] & ~seen).astype(jnp.float32))
+                seen = seen | c3[k]
+            first = jnp.concatenate(firsts, axis=0)
 
-            zeros = jnp.zeros_like(x)
-            t_done, t_bound = zeros, t_bound0
-            tau_s, tau_a = sca_budget, abs_budget
-            done = jnp.zeros_like(x, dtype=bool)
-            d_scat, d_abs = zeros, zeros
-            inv_a_fin = jnp.ones_like(x)
-            for k in range(K + 1):
-                inv_s_k, inv_a_k = layer_vals(k)
-                d_s = t_done + tau_s / inv_s_k
-                d_a = t_done + tau_a / inv_a_k
-                cur_j = j0 + float(k) * jnp.where(going_up, 1.0, -1.0)
-                at_edge = (going_up & (cur_j >= spec.L - 1)) | \
-                          ((~going_up) & (cur_j <= 0))
-                exhaust = t_bound >= jnp.minimum(d_s, d_a)
-                past_cap = t_bound >= max_seg
-                cross = (~done) & (~at_edge) & (~exhaust) & (~past_cap)
-                finalize = (~done) & (~cross)
-                d_scat = jnp.where(finalize, d_s, d_scat)
-                d_abs = jnp.where(finalize, d_a, d_abs)
-                inv_a_fin = jnp.where(finalize, inv_a_k, inv_a_fin)
-                dtb = t_bound - t_done
-                tau_s = jnp.where(cross, tau_s - dtb * inv_s_k, tau_s)
-                tau_a = jnp.where(cross, tau_a - dtb * inv_a_k, tau_a)
-                t_done = jnp.where(cross, t_bound, t_done)
-                t_bound = jnp.where(cross, t_bound + t_step, t_bound)
-                done = done | finalize
-            inv_s_last, inv_a_last = layer_vals(K)
-            d_scat = jnp.where(done, d_scat, t_done + tau_s / inv_s_last)
-            d_abs = jnp.where(done, d_abs, t_done + tau_a / inv_a_last)
-            inv_a_fin = jnp.where(done, inv_a_fin, inv_a_last)
+            def pick_k(stack):
+                return jnp.sum((first * stack).reshape(Kp1, RB, LANES),
+                               axis=0)
+            d_scat = pick_k(ds_all)
+            d_abs = pick_k(da_all)
+            inv_a_fin = pick_k(inv_a_all)
+            tau_a = pick_k(tau_a_all)
+            t_done = pick_k(t_prev)
             if "nowalk" in ablate:   # static: the walk above becomes dead code
                 d_scat = sca_budget * 25.0
                 d_abs = abs_budget * 25.0
