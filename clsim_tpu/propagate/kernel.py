@@ -973,74 +973,95 @@ def _make_kernel(spec: FusedSpec):
                     mask = (iota_C == sidx)
                     ranked = jnp.where(mask, BIG, ranked)
                     peel.append((mask.astype(jnp.float32), mi))
-                round_best, round_dom = [], []
-                round_ctr = []     # records: winner DOM center per round
-                for mf, mi in peel:
-                    A2 = pick(A2c, mf)
-                    Bd = pick(bd2, mf)
-                    foff = pick(offc, mf)
-                    if spec.records:
-                        sx_r = pick(sxc, mf)
-                        sy_r = pick(syc, mf)
-                    if spec.uniform_z:
-                        # shared DOM z-grid: scalars replace 3 picks
-                        fz0 = pf(PF_UZ_Z0)
-                        fdzf = pf(PF_UZ_DZ)
-                        fnd = pf(PF_UZ_ND)
-                    else:
-                        fz0 = pick(z0c, mf)
-                        fdzf = pick(dzc, mf)
-                        fnd = pick(ndc, mf)
-                    s_ok = tile(jnp.where(mi < BIG, 1.0, 0.0)) > 0.5
-                    # segment endpoints in DOM-index space (dz sign-agnostic)
-                    inv_dzf = 1.0 / fdzf
-                    m1 = (z - fz0) * inv_dzf
-                    m2 = m1 + dz * d_prop * inv_dzf
-                    mlo = jnp.floor(jnp.minimum(m1, m2)
-                                    - margin * jnp.abs(inv_dzf))
-                    nd1 = fnd - 1.0
-                    # best starts at the incumbent distance: `smin1 < best`
-                    # subsumes the `smin1 < dist` check, and the smin2>=0
-                    # condition of the reference (sq >= 0 so smin2 >= smin1
-                    # >= 0) is implied by smin1 >= 0 -- fewer VPU ops per
-                    # candidate with identical accept set
-                    best = d_prop
-                    domb = jnp.zeros_like(x)
-                    for c in range(spec.n_dom_cand):
-                        m = jnp.clip(mlo + float(c), 0.0, nd1)
-                        oz = fz0 + fdzf * m - z
-                        urdot = Bd + oz * dz
-                        dr2 = A2 + oz * oz
-                        discr = urdot * urdot - dr2 + R2
-                        sq = jnp.sqrt(jnp.maximum(discr, 0.0)) * inv_pancake
-                        smin1 = urdot - sq
-                        good = s_ok & (discr >= 0.0) \
-                            & (smin1 >= 0.0) & (smin1 < best)
-                        best = jnp.where(good, smin1, best)
-                        domb = jnp.where(good, foff + m, domb)
-                    round_best.append(best)
-                    round_dom.append(domb)
-                    if spec.records:
-                        round_ctr.append(
-                            (sx_r, sy_r, fz0 + fdzf * (domb - foff)))
-                hit_t = jnp.zeros_like(x, bool)
-                dist_t = d_prop
-                dom_t = jnp.zeros_like(x)
+                # fully STACKED sphere test: all rounds x candidates as one
+                # set of wide ops on (NR*NC*RB, LANES) arrays (in-order
+                # issue makes op count the cost; the old per-round
+                # per-candidate loops were ~6x the ops at 1/10 the width).
+                # The global minimum entry distance decides the hit --
+                # identical accept set to the sequential form (exact-tie dom
+                # choice differs on a measure-zero set).
                 ctr_x = jnp.zeros_like(x)
                 ctr_y = jnp.zeros_like(x)
                 ctr_z = jnp.zeros_like(x)
-                for ri_, (best, domb) in enumerate(zip(round_best,
-                                                       round_dom)):
-                    closer = best < dist_t
-                    hit_t = hit_t | closer
-                    dom_t = jnp.where(closer, domb, dom_t)
-                    dist_t = jnp.where(closer, best, dist_t)
+                if n_string_rounds == 0:
+                    hit = jnp.zeros_like(x, bool)
+                    hit_dist = d_prop
+                    hit_dom = jnp.zeros_like(x)
+                else:
+                    NR = n_string_rounds
+                    NC = spec.n_dom_cand
+                    stackr = lambda it: jnp.concatenate(list(it), axis=0)
+                    repr_ = lambda v: jnp.concatenate([v] * NR, axis=0)
+
+                    def repc(v):
+                        if jnp.ndim(v) == 0:
+                            return v
+                        return jnp.concatenate([v] * NC, axis=0)
+
+                    A2_s = stackr(pick(A2c, mf) for mf, mi in peel)
+                    Bd_s = stackr(pick(bd2, mf) for mf, mi in peel)
+                    foff_s = stackr(pick(offc, mf) for mf, mi in peel)
+                    sok_s = stackr(tile(jnp.where(mi < BIG, 1.0, 0.0))
+                                   for mf, mi in peel) > 0.5
+                    if spec.uniform_z:
+                        fz0_s = pf(PF_UZ_Z0)
+                        fdzf_s = pf(PF_UZ_DZ)
+                        fnd_s = pf(PF_UZ_ND)
+                    else:
+                        fz0_s = stackr(pick(z0c, mf) for mf, mi in peel)
+                        fdzf_s = stackr(pick(dzc, mf) for mf, mi in peel)
+                        fnd_s = stackr(pick(ndc, mf) for mf, mi in peel)
+                    z_s = repr_(z)
+                    dz_s = repr_(dz)
+                    dp_s = repr_(d_prop)
+                    inv_dzf = 1.0 / fdzf_s
+                    m1 = (z_s - fz0_s) * inv_dzf
+                    m2 = m1 + dz_s * dp_s * inv_dzf
+                    mlo = jnp.floor(jnp.minimum(m1, m2)
+                                    - margin * jnp.abs(inv_dzf))
+                    nd1 = fnd_s - 1.0
+                    # candidate axis: stacked offsets from mlo
+                    m_sc = jnp.clip(
+                        jnp.concatenate([mlo + float(c) for c in range(NC)],
+                                        axis=0), 0.0, repc(nd1))
+                    z_c = repc(z_s)
+                    dz_c = repc(dz_s)
+                    dp_c = repc(dp_s)
+                    fz0_c = repc(fz0_s)
+                    fdzf_c = repc(fdzf_s)
+                    oz = fz0_c + fdzf_c * m_sc - z_c
+                    urdot = repc(Bd_s) + oz * dz_c
+                    dr2 = repc(A2_s) + oz * oz
+                    discr = urdot * urdot - dr2 + R2
+                    sq = jnp.sqrt(jnp.maximum(discr, 0.0)) * inv_pancake
+                    smin1 = urdot - sq
+                    # smin2 >= 0 is implied by smin1 >= 0 (sq >= 0)
+                    good = repc(sok_s) & (discr >= 0.0) \
+                        & (smin1 >= 0.0) & (smin1 < dp_c)
+                    sm3 = jnp.where(good, smin1, BIG) \
+                        .reshape(NR * NC, RB, LANES)
+                    dom3 = (repc(foff_s) + m_sc).reshape(NR * NC, RB, LANES)
+                    best = jnp.min(sm3, axis=0)
+                    onwin = sm3 == best[None]
+                    hit = best < d_prop
+                    hit_dist = jnp.where(hit, best, d_prop)
+                    hit_dom = jnp.where(
+                        hit, jnp.max(jnp.where(onwin, dom3, -1.0), axis=0),
+                        0.0)
                     if spec.records:
-                        cx_r, cy_r, cz_r = round_ctr[ri_]
-                        ctr_x = jnp.where(closer, cx_r, ctr_x)
-                        ctr_y = jnp.where(closer, cy_r, ctr_y)
-                        ctr_z = jnp.where(closer, cz_r, ctr_z)
-                hit, hit_dist, hit_dom = hit_t, dist_t, dom_t
+                        sx_c = repc(stackr(pick(sxc, mf)
+                                           for mf, mi in peel)) \
+                            .reshape(NR * NC, RB, LANES)
+                        sy_c = repc(stackr(pick(syc, mf)
+                                           for mf, mi in peel)) \
+                            .reshape(NR * NC, RB, LANES)
+                        zd3 = (fz0_c + fdzf_c * m_sc) \
+                            .reshape(NR * NC, RB, LANES)
+                        pickw = lambda v3: jnp.max(
+                            jnp.where(onwin, v3, -BIG), axis=0)
+                        ctr_x = jnp.where(hit, pickw(sx_c), 0.0)
+                        ctr_y = jnp.where(hit, pickw(sy_c), 0.0)
+                        ctr_z = jnp.where(hit, pickw(zd3), 0.0)
             else:
                 # general path: fetch the winner string's dense DOM-residual
                 # rows by global string index (from the cell feature block)

@@ -160,3 +160,15 @@ class TestGen2Sensors:
         np.testing.assert_allclose(p[1], p[2], rtol=1e-5)
         np.testing.assert_allclose(p[3], p[4], rtol=1e-5)
         assert np.all(p > 0)
+
+
+def test_profile_device_time():
+    from clsim_tpu.util.profiling import profile_device_time
+    a = jnp.ones((256, 256))
+
+    @jax.jit
+    def f():
+        return a @ a
+
+    d = profile_device_time(f, reps=3)
+    assert d["device_time_s"] >= 0.0 and d["queue_saturated"]
