@@ -864,13 +864,20 @@ def _make_kernel(spec: FusedSpec):
             st2 = lambda a3: a3.reshape(Kp1 * RB, LANES)
             rep = lambda v: jnp.concatenate([v] * Kp1, axis=0)
             up_m = rep(going_up)
+
+            def rev_rows(lo):
+                # static reversed-slice concat (jnp.flip's `rev` primitive
+                # has no Pallas TPU lowering)
+                return jnp.concatenate(
+                    [win3[lo + K - k:lo + K - k + 1] for k in range(Kp1)],
+                    axis=0)
+
             b_dir = jnp.where(up_m, st2(win3[K:2 * K + 1]),
-                              st2(jnp.flip(win3[0:Kp1], axis=0)))
+                              st2(rev_rows(0)))
             a_dir = jnp.where(up_m, st2(win3[W + K:W + 2 * K + 1]),
-                              st2(jnp.flip(win3[W:W + Kp1], axis=0)))
+                              st2(rev_rows(W)))
             dt_dir = jnp.where(up_m, st2(win3[2 * W + K:2 * W + 2 * K + 1]),
-                               st2(jnp.flip(win3[2 * W:2 * W + Kp1],
-                                            axis=0)))
+                               st2(rev_rows(2 * W)))
             inv_s_all = rep(gs) * b_dir
             inv_a_all = rep(pa) * a_dir + rep(qa) + rep(ra) * dt_dir
             kconst = jnp.concatenate(

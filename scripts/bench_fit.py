@@ -37,8 +37,8 @@ def sync(x):
 
 def main():
     on_cpu = jax.devices()[0].platform == "cpu"
-    N = int(os.environ.get("BENCH_SLOTS", 1024 if on_cpu else 65536))
-    T = int(os.environ.get("BENCH_IPC", 8 if on_cpu else 64))
+    N = int(os.environ.get("BENCH_SLOTS", 1024 if on_cpu else 16384))
+    T = int(os.environ.get("BENCH_IPC", 8 if on_cpu else 32))
     interpret = on_cpu
 
     n_layers = 24
@@ -102,8 +102,8 @@ def main():
         return dt
 
     t_ff = timed("fwd_fused", fwd_fused)
-    t_fe = timed("fwd_engine", fwd_engine)
-    t_g = timed("grad_step", grad_step)
+    t_fe = timed("fwd_engine", fwd_engine, reps=1)
+    t_g = timed("grad_step", grad_step, reps=1)
     print(f"fit-step overhead vs fused fwd: {t_g / t_ff:.1f}x "
           f"(engine fwd alone is {t_fe / t_ff:.1f}x)")
 
