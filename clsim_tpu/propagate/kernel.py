@@ -1541,7 +1541,11 @@ def _cell_plan(geo: DetectorGeometry, cfg: PropagationConfig):
     base = float(cfg.max_segment_m) + float(smaxr.max()) + 1.0
 
     best = None
-    for mult in (0.5, 0.75, 1.0, 1.5, 2.0, 4.0, 1e9):
+    mults = (0.5, 0.75, 1.0, 1.5, 2.0, 4.0, 1e9)
+    import os as _os
+    if _os.environ.get("CLSIM_CELL_MULT"):
+        mults = (float(_os.environ["CLSIM_CELL_MULT"]),)
+    for mult in mults:
         cell = base * mult
         nx = max(int(np.ceil((gx1 - gx0) / cell)), 1)
         ny = max(int(np.ceil((gy1 - gy0) / cell)), 1)
