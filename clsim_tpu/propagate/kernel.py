@@ -116,7 +116,10 @@ PF_UZ_Z0 = 52          # uniform-z geometry: shared DOM z-grid (z0, dz, nd)
 PF_UZ_DZ = 53          #   -- lets the affine collision path skip 3 of its
 PF_UZ_ND = 54          #   6 per-round winner-feature picks
 PF_BIAS_XMAX = 55      # last bias grid point (non-uniform bias clamp)
-PF_LEN = 56
+PF_DOM0_X = 56         # DOM 0 center: the SAVE_ALL record-position origin
+PF_DOM0_Y = 57         #   (engine record contract: hit_dom = 0 for
+PF_DOM0_Z = 58         #   absorption records)
+PF_LEN = 59
 
 (CNT_GEN, CNT_HITS, CNT_WSUM, CNT_DROPPED, CNT_ALIVE, CNT_QUEUED,
  CNT_WORK) = range(7)
@@ -204,6 +207,13 @@ class FusedSpec(NamedTuple):
                                # REC_STATE_FIELDS state + a second compacted
                                # record queue (saveHit full-record analog,
                                # propagation_kernel.c.cl:307-404)
+    rec_all: bool = False      # SAVE_ALL_PHOTONS: record at the ABSORPTION
+                               # point with a prescale instead of at hits
+                               # (propagation_kernel.c.cl:800-826); record
+                               # entries ride the queue with NEGATED weight
+                               # so the histogram/host side can tell them
+                               # from hit entries
+    rec_prescale: float = 1.0
 
 
 def _split_bf16(tab, n):
@@ -492,7 +502,7 @@ def _make_kernel(spec: FusedSpec):
             propagation_kernel.c.cl:307-404)."""
             fw = flat(pend_w)
             fi = flat(pend_idx)
-            hit = fw > 0.0
+            hit = fw != 0.0
             cs = _lane_scan_incl(hit.astype(jnp.float32), BLK)
             nh = jnp.max(cs)
             pos = jnp.where(hit, cs - 1.0, -1.0)
@@ -636,7 +646,7 @@ def _make_kernel(spec: FusedSpec):
                 (photons_left, in_flight, x, y, z, t, dx, dy, dz, w0,
                  inv_gv, abs_left, gsv, pav, qav, rav, n_gen) = sp
                 fresh = (in_flight < 0.5) & (photons_left > 0.5) \
-                    & (pend_w <= 0.0)
+                    & (pend_w == 0.0)
                 shift = stp["length"] * u[0]
                 px = stp["x"] + stp["dir_x"] * shift
                 py = stp["y"] + stp["dir_y"] * shift
@@ -1212,7 +1222,28 @@ def _make_kernel(spec: FusedSpec):
                 # died under stop-on-detection)
                 pend_idx = jnp.where(hit_act, flat_idx, pend_idx)
                 pend_w = jnp.where(hit_act, w_hit, pend_w)
+                if spec.records and spec.rec_all:
+                    # SAVE_ALL: record at the absorption point (prescaled on
+                    # the scatter-azimuth row, which absorbed lanes never
+                    # consume -- same row the engine uses), dom = 0, weight
+                    # NEGATED as the record-only queue marker
+                    rec_mask = active & absorbed & ~hit_act
+                    if spec.rec_prescale < 1.0:
+                        rec_mask = rec_mask & (u[7] < spec.rec_prescale)
+                    t_abs = t + inv_gv * d_prop
+                    tb_abs = jnp.clip(jnp.floor(
+                        (t_abs - pf(PF_HIST_T0)) * pf(PF_INV_HIST_DT)),
+                        0.0, float(NBINS - 1))
+                    pend_idx = jnp.where(rec_mask, tb_abs, pend_idx)
+                    pend_w = jnp.where(rec_mask, -w0, pend_w)
+                    ctr_x = jnp.where(rec_mask, pf(PF_DOM0_X), ctr_x)
+                    ctr_y = jnp.where(rec_mask, pf(PF_DOM0_Y), ctr_y)
+                    ctr_z = jnp.where(rec_mask, pf(PF_DOM0_Z), ctr_z)
+                    hit_dist = jnp.where(rec_mask, d_prop, hit_dist)
+                else:
+                    rec_mask = jnp.zeros_like(x, bool)
                 if spec.records:
+                    hit_act = hit_act | rec_mask  # record-position lanes
                     # DOM-relative record position with the pancake
                     # un-correction (engine.py record block /
                     # propagation_kernel.c.cl:340-355): shift the DOM
@@ -1471,8 +1502,6 @@ def fused_supported(medium: MediumProperties, spectra: SpectrumTable,
             return "soft binning is fused only with estimator='expected'"
     elif cfg.estimator != "expected":
         return f"estimator {cfg.estimator!r} not fused"
-    if cfg.save_all_photons:
-        return "SAVE_ALL (record-at-absorption) not fused"
     if cfg.save_photons:
         if cfg.estimator != "detect" or not cfg.stop_on_detection:
             return "photon records fused only with stopping detect"
@@ -1643,8 +1672,9 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         spawn_every=1 if external_uniforms else spawn_every,
         n_string_rounds=cfg.strings_per_photon,
         uniform_z=uniform_z,
-        records=bool(cfg.save_photons and not cfg.save_all_photons
-                     and cfg.estimator == "detect"),
+        records=bool(cfg.save_photons and cfg.estimator == "detect"),
+        rec_all=bool(cfg.save_photons and cfg.save_all_photons),
+        rec_prescale=float(cfg.save_all_prescale),
         expected=cfg.estimator == "expected",
         soft=cfg.soft_binning,
         ang_poly=tuple(cfg.expected_angular_poly or ()),
@@ -1803,6 +1833,8 @@ def _build_pf(medium: MediumProperties, geo: DetectorGeometry,
         PF_BIAS_X0: spectra.bias_x[0],
         PF_BIAS_INV_DX: 1.0 / (spectra.bias_x[1] - spectra.bias_x[0]),
         PF_BIAS_XMAX: spectra.bias_x[-1],
+        PF_DOM0_X: geo.dom_x[0], PF_DOM0_Y: geo.dom_y[0],
+        PF_DOM0_Z: geo.dom_z[0],
         # shared DOM z-grid for uniform-z geometries (read only when
         # spec.uniform_z; harmless otherwise)
         PF_UZ_Z0: geo.string_features[0, 4],
@@ -2126,10 +2158,16 @@ def _run_fused_records(steps: StepBatch, medium, geo, spectra, seed,
         csum = np.asarray(cnt, np.float64)[:, :7].sum(axis=0)
         totals += csum
         qwn = np.asarray(qw, np.float64).reshape(-1)
-        valid = qwn > 0.0
+        # hit entries carry w > 0 and feed the histogram; SAVE_ALL
+        # absorption records ride the same queue with NEGATED weight and
+        # are the only entries that become records in that mode
+        pos = qwn > 0.0
+        if pos.any():
+            qin_all = np.asarray(qidx, np.float64).reshape(-1)
+            np.add.at(hist, qin_all[pos].astype(np.int64), qwn[pos])
+        valid = (qwn < 0.0) if spec.rec_all else pos
         if valid.any():
             qin = np.asarray(qidx, np.float64).reshape(-1)
-            np.add.at(hist, qin[valid].astype(np.int64), qwn[valid])
             qrn = np.asarray(qrec, np.float64).reshape(
                 nb, spec.queue_rows, NRQ, LANES)
             qrn = qrn.transpose(0, 1, 3, 2).reshape(-1, NRQ)
@@ -2160,7 +2198,9 @@ def _run_fused_records(steps: StepBatch, medium, geo, spectra, seed,
         "cherenkov_dist": one_row(
             (f["time"] - f["start_time"]) / inv_gv),
         "num_scatters": one_row(f["num_scatters"]),
-        "weight": one_row(w_all),
+        # absorption records (negated marker) keep the engine's weight-0
+        # record convention; hit records keep their positive weight
+        "weight": one_row(np.maximum(w_all, 0.0)),
         "identifier": one_row(f["identifier"]),
         "dom": one_row(np.floor(qidx_all / nbins)),
         "start_x": one_row(f["start_x"]), "start_y": one_row(f["start_y"]),
