@@ -207,6 +207,12 @@ class Simulation:
         if res is None:
             return (np.zeros(0, np.int32), np.zeros(0, np.float32),
                     np.zeros(0, np.int32))
+        if self.config.pancake_factor == 1.0 and not                 self.config.save_all_photons:
+            # spherical-DOM sanity check (I3PhotonToMCPEConverter.cxx:415-455)
+            from .hits.mcpe import check_photon_positions
+            check_photon_positions(res.rec, res.rec_count,
+                                   self.geometry.collision_radius,
+                                   self.config.pancake_factor)
         key = jax.random.fold_in(jax.random.PRNGKey(seed), 0x4d435045)
         mcpes = sample_mcpes(res.rec, res.rec_count, key,
                              self.wlen_acceptance, self.angular_coeffs,

@@ -177,3 +177,35 @@ def mcpes_to_numpy(m: MCPEBatch):
     ident = np.asarray(m.identifier)[valid]
     order = np.argsort(time, kind="stable")
     return dom[order], time[order], ident[order]
+
+
+def check_photon_positions(rec, rec_count, collision_radius: float,
+                           pancake_factor: float, tolerance_m: float = 0.03,
+                           only_warn: bool = True):
+    """Spherical-DOM sanity check (I3PhotonToMCPEConverter.cxx:415-455):
+    with pancake_factor == 1 every recorded photon must sit ON the
+    (oversized) DOM sphere within 3 cm; flattened pancake DOMs skip the
+    check.  Record positions here are DOM-relative, so the distance is
+    simply |pos|.  Returns the number of off-sphere photons; warns (or
+    raises, matching the reference's log_fatal default) when nonzero."""
+    if pancake_factor != 1.0:
+        return 0
+    n_slots, cap = np.asarray(rec["time"]).shape
+    count = np.asarray(rec_count)
+    valid = (np.arange(cap)[None, :] < np.minimum(count, cap)[:, None])
+    px = np.asarray(rec["pos_x"])[valid]
+    py = np.asarray(rec["pos_y"])[valid]
+    pz = np.asarray(rec["pos_z"])[valid]
+    dist = np.sqrt(px * px + py * py + pz * pz)
+    bad = int((np.abs(dist - collision_radius) > tolerance_m).sum())
+    if bad:
+        msg = (f"{bad} recorded photons are not on the DOM sphere "
+               f"(radius {collision_radius:.4f} m +- {tolerance_m} m); "
+               "worst |dist-R| = "
+               f"{np.abs(dist - collision_radius).max():.4f} m")
+        if only_warn:
+            import warnings
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            raise RuntimeError(msg)
+    return bad

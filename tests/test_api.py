@@ -126,3 +126,32 @@ def test_slot_assignment_splits_and_balances():
     assert n_split > 32
     per_slot = np.asarray(b.num_photons)[np.asarray(b.identifier) == 7]
     assert per_slot.max() - per_slot.min() <= 1
+
+
+def test_on_sphere_sanity_check():
+    """Spherical-DOM (pancake==1) record positions must lie on the DOM
+    sphere within 3 cm (I3PhotonToMCPEConverter.cxx:415-455); a pancaked
+    run skips the check."""
+    import warnings
+    from clsim_tpu.hits.mcpe import check_photon_positions
+    import pytest as _pytest
+
+    rec = {"time": np.zeros((2, 4), np.float32),
+           "pos_x": np.asarray([[0.5, 0.5, 0, 0], [0.9, 0, 0, 0]],
+                               np.float32),
+           "pos_y": np.zeros((2, 4), np.float32),
+           "pos_z": np.zeros((2, 4), np.float32)}
+    counts = np.asarray([2, 1])
+    # all three records at r=0.5 or 0.9 vs sphere R=0.5: one bad
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bad = check_photon_positions(rec, counts, 0.5, 1.0)
+    assert bad == 1 and any("sphere" in str(x.message) for x in w)
+    with _pytest.raises(RuntimeError, match="sphere"):
+        check_photon_positions(rec, counts, 0.5, 1.0, only_warn=False)
+    # pancaked DOMs skip the check entirely
+    assert check_photon_positions(rec, counts, 0.5, 5.0) == 0
+    # on-sphere records pass silently
+    ok = dict(rec)
+    ok["pos_x"] = np.asarray([[0.5, 0.5, 0, 0], [0.51, 0, 0, 0]], np.float32)
+    assert check_photon_positions(ok, counts, 0.5, 1.0) == 0
