@@ -147,8 +147,13 @@ def main():
 
     on_cpu = jax.devices()[0].platform == "cpu"
     n_slots = int(os.environ.get("BENCH_SLOTS", 2048 if on_cpu else 262144))
+    # 400 photons/slot = ~105M photons per repetition -- still well under
+    # the reference benchmark's in-flight scale (MaxParallelEvents=100 x
+    # 40 TeV cascades ~ 7e8 biased photons, benchmark.py:10-30), and large
+    # enough that the slot drain tail does not distort the steady-state
+    # rate (A/B: 50/slot loses ~17% to tail underutilization)
     photons_per_slot = int(os.environ.get("BENCH_PHOTONS_PER_SLOT",
-                                          8 if on_cpu else 50))
+                                          8 if on_cpu else 400))
     backend = os.environ.get("BENCH_BACKEND", "auto")
 
     def measure(geo_name):
