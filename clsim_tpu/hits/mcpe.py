@@ -17,8 +17,8 @@ SURVEY.md section 2.5).
 Two modes:
   * sample_mcpes: faithful accept/reject on photon records
   * expected_hist: multiply the per-DOM time histogram by the expectation of
-    the acceptance factors (differentiable path; angular factor folded in at
-    propagation time is planned for the record-free path)
+    the acceptance factors (differentiable path; the angular factor is
+    folded in at propagation time via cfg.expected_angular_poly)
 """
 
 from __future__ import annotations

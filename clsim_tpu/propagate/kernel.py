@@ -15,7 +15,7 @@ cull arrays and (n_slots, window) layer fetches in HBM every iteration
 every temporary lives in VMEM for a block of `block_lanes` photons.
 
 Measured layout rules (scripts/probe_pallas*.py on a v5e through the axon
-relay):
+relay; round-3 additions at the end):
   * elementwise math on (RB, 128)-shaped lanes is ~free; (1, BLK)-flat ops
     run at 1/8 VPU -- so state lives tiled and is flattened only for the
     table/cull phases (reshape is cheap);
