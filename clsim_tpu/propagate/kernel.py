@@ -260,6 +260,32 @@ def _lane_scan_incl(x, width):
     return x
 
 
+def _mask_scan_incl(mask_flat, width):
+    """Inclusive cumsum of a 0/1 (1, width) mask via ONE exact int8 MXU
+    matmul (int8 matmuls accumulate exactly on this target, unlike f32
+    whose outputs round to bf16): counts[j] = sum_{i<=j} m[i] is m @ U with
+    U upper-triangular ones, plus a short roll-scan of per-row totals.
+    Replaces the log2(width)-step flat roll-scan (flat ops run at 1/8 VPU
+    and each op pays the in-order fixed issue cost)."""
+    rb = width // LANES
+    m8 = mask_flat.reshape(rb, LANES).astype(jnp.int8)
+    iu = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    ju = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    U = (iu <= ju).astype(jnp.int8)
+    part = jax.lax.dot_general(m8, U, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)  # (rb, 128)
+    totals = part[:, LANES - 1:LANES].astype(jnp.float32)         # (rb, 1)
+    # exclusive prefix of row totals (rb rows; log2(rb) sublane rolls)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+    acc = totals
+    s = 1
+    while s < rb:
+        acc = acc + jnp.where(iota_r >= s, pltpu.roll(acc, s, 0), 0.0)
+        s *= 2
+    offs = acc - totals                                           # exclusive
+    return (part.astype(jnp.float32) + offs).reshape(1, width)
+
+
 def _scatter_dir(cosa, sina, dx, dy, dz, u_azimuth):
     """ops/rotations.scatter_direction_by_angle, inlined (kernel-safe)."""
     b = 2.0 * jnp.pi * u_azimuth
@@ -503,7 +529,7 @@ def _make_kernel(spec: FusedSpec):
             fw = flat(pend_w)
             fi = flat(pend_idx)
             hit = fw != 0.0
-            cs = _lane_scan_incl(hit.astype(jnp.float32), BLK)
+            cs = _mask_scan_incl(hit, BLK)
             nh = jnp.max(cs)
             pos = jnp.where(hit, cs - 1.0, -1.0)
             headf = head.astype(jnp.float32)
