@@ -268,7 +268,8 @@ def _mask_scan_incl(mask_flat, width):
     Replaces the log2(width)-step flat roll-scan (flat ops run at 1/8 VPU
     and each op pays the in-order fixed issue cost)."""
     rb = width // LANES
-    m8 = mask_flat.reshape(rb, LANES).astype(jnp.int8)
+    # bool->int8 does not lower on this target; route through f32
+    m8 = mask_flat.astype(jnp.float32).reshape(rb, LANES).astype(jnp.int8)
     iu = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     ju = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     U = (iu <= ju).astype(jnp.int8)
