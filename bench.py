@@ -158,7 +158,7 @@ def main():
 
     cpu0 = jax.devices("cpu")[0] if not on_cpu else None
 
-    def measure(geo_name):
+    def measure(geo_name, reps=None):
         os.environ["BENCH_GEO"] = geo_name
         if cpu0 is not None:
             # keep the workload build's small jnp ops OFF the TPU relay
@@ -180,7 +180,8 @@ def main():
             return float(res.n_generated), float(jnp.sum(res.hist))
 
         run(99)  # warmup / compile
-        reps = 1 if on_cpu else 2
+        if reps is None:
+            reps = 1 if on_cpu else 2
         t0 = time.perf_counter()
         total_photons = 0.0
         for r in range(reps):
@@ -189,12 +190,13 @@ def main():
         return total_photons / (time.perf_counter() - t0)
 
     # headline: the requested geometry (hex61 default); the irregular
-    # 86-string detector is measured alongside so the reported number
+    # 86-string detector is ALWAYS measured alongside so the reported number
     # cannot hide a non-uniform-geometry cliff (round-2 review item 2; the
     # reference benchmark runs the real 86-string GCD,
     # resources/scripts/benchmark.py:297-340).  The axon relay's compile
-    # latency varies a lot, so the second geometry only runs if there is
-    # comfortable time left inside the driver's bench budget.
+    # latency varies a lot: under deadline pressure the second geometry
+    # shrinks to a single rep rather than being skipped, and a missing
+    # number is a hard error, never a silently-partial JSON line.
     t_start = time.perf_counter()
     deadline = float(os.environ.get("BENCH_DEADLINE_S", 480.0))
     headline_geo = os.environ.get("BENCH_GEO", "hex61")
@@ -207,9 +209,11 @@ def main():
         headline_geo: v_head,
     }
     elapsed = time.perf_counter() - t_start
-    if elapsed < 0.62 * deadline:
-        other = "ic86" if headline_geo != "ic86" else "hex61"
-        out[other] = measure(other)
+    other = "ic86" if headline_geo != "ic86" else "hex61"
+    out[other] = measure(other, reps=1 if elapsed > 0.5 * deadline else None)
+    for g in ("hex61", "ic86"):
+        if not (out.get(g, 0.0) > 0.0):
+            raise RuntimeError(f"bench produced no throughput for {g}")
     print(json.dumps(out))
 
 

@@ -34,30 +34,140 @@ def make_mesh(devices=None, axis: str = PHOTON_AXIS) -> Mesh:
 
 
 def make_sharded_propagate(mesh: Mesh, cfg: PropagationConfig,
-                           axis: str = PHOTON_AXIS):
+                           axis: str = PHOTON_AXIS, backend: str = "auto",
+                           medium: Optional[MediumProperties] = None,
+                           geo: Optional[DetectorGeometry] = None,
+                           spectra: Optional[SpectrumTable] = None,
+                           interpret: bool = False, max_calls: int = 256,
+                           with_uniforms: bool = False, **fused_opts):
     """Build a jitted SPMD propagate: steps sharded over `axis`, histograms
     psum-reduced, result replicated.
 
-    The per-shard RNG key is decorrelated with the device index, so the
+    The production path routes each shard through the fused Pallas kernel
+    (the same fast converter scale-out exists for in the reference:
+    I3CLSimServer.cxx:163-370 fans steps out to the *compiled OpenCL*
+    converters, not a slow fallback).  Selecting the fused path needs the
+    concrete `medium`/`geo`/`spectra` at build time (the collision-plan and
+    kernel-spec construction is host-side numpy); when they are omitted or
+    the configuration is unsupported, backend="auto" falls back to the JAX
+    engine.  backend="engine" forces the fallback; backend="fused" raises
+    when unsupported.
+
+    `with_uniforms` builds the parity-test variant: the returned callable
+    takes one extra packed-uniform-stream argument (produced by its
+    `.layout_uniforms` attribute from a (T, 8, n_total) array), runs exactly
+    one kernel call, and consumes those uniforms instead of the on-core
+    PRNG -- the sharded analogue of propagate_fused(uniforms=...).
+
+    The per-shard RNG seed/key is decorrelated with the device index, so the
     result is deterministic for a fixed (key, mesh size) regardless of how
     the steps were produced.
     """
+    use_fused = False
+    reason = None
+    if backend != "engine" and geo is not None:
+        from ..propagate.dispatch import _pick_block_lanes, backend_reason
+        reason = backend_reason(medium, spectra, cfg, cfg.n_slots,
+                                interpret=interpret)
+        if reason is None:
+            use_fused = True
+    if backend == "fused" and not use_fused:
+        raise ValueError("sharded fused path unsupported: "
+                         f"{reason or 'build-time medium/geo/spectra needed'}")
 
-    def _shard_body(steps, medium, geo, spectra, key):
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        res = propagate(steps, medium, geo, spectra, key, cfg)
+    if not use_fused:
+        def _shard_body(steps, medium, geo, spectra, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            res = propagate(steps, medium, geo, spectra, key, cfg)
+            return PropagationResult(
+                hist=jax.lax.psum(res.hist, axis),
+                n_generated=jax.lax.psum(res.n_generated, axis),
+                n_hits=jax.lax.psum(res.n_hits, axis),
+                weight_hits=jax.lax.psum(res.weight_hits, axis),
+                n_iterations=jax.lax.pmax(res.n_iterations, axis))
+
+        sharded = jax.shard_map(
+            _shard_body, mesh=mesh,
+            in_specs=(P(axis), P(), P(), P(), P()),
+            out_specs=P(), check_vma=False)
+        fn = jax.jit(sharded)
+
+        def run(*args):
+            return fn(*args)
+        run.backend = "engine"
+        run.backend_reason = reason
+        return run
+
+    # ---- fused shard body -------------------------------------------------
+    from ..propagate import kernel as FK
+
+    block_lanes = fused_opts.pop("block_lanes", None) or \
+        _pick_block_lanes(cfg.n_slots)
+    iters_per_call = fused_opts.pop("iters_per_call", 256)
+    flush_every = fused_opts.pop("flush_every", 16)
+    queue_rows = fused_opts.pop("queue_rows", 32)
+    splits = fused_opts.pop("splits", 2)
+    spawn_every = 1 if with_uniforms else fused_opts.pop("spawn_every", 4)
+    scatter_cap = fused_opts.pop("scatter_cap", 8192)
+    repack = (not with_uniforms) and fused_opts.pop("repack", True)
+    if fused_opts:
+        raise TypeError(f"unknown fused options: {sorted(fused_opts)}")
+    if iters_per_call % flush_every:
+        raise ValueError("iters_per_call must be a multiple of flush_every")
+
+    cell_tab_np, plan = FK._cell_plan(geo, cfg)
+    spec = FK._build_spec(medium, geo, spectra, cfg, cfg.n_slots,
+                          iters_per_call, flush_every, queue_rows,
+                          block_lanes, splits, with_uniforms, interpret,
+                          spawn_every=spawn_every, plan=plan)
+    cell_tab = jnp.asarray(cell_tab_np)
+    mc = 1 if with_uniforms else max_calls
+
+    def _shard_body(steps, medium_t, geo_t, spectra_t, key, *maybe_u):
+        di = jax.lax.axis_index(axis)
+        ku = jnp.asarray(key).reshape(-1).astype(jnp.uint32)
+        seed = ((ku[-1] ^ (ku[0] << 16))
+                & jnp.uint32(0x7fffffff)).astype(jnp.int32)
+        seed = seed + di.astype(jnp.int32) * 1000003
+        res, totals = FK._run_fused(
+            steps, medium_t, geo_t, spectra_t, seed, cfg, spec, mc,
+            scatter_cap, cell_tab=cell_tab,
+            uniforms=maybe_u[0] if with_uniforms else None,
+            repack=repack, balance=False)
         return PropagationResult(
             hist=jax.lax.psum(res.hist, axis),
             n_generated=jax.lax.psum(res.n_generated, axis),
             n_hits=jax.lax.psum(res.n_hits, axis),
             weight_hits=jax.lax.psum(res.weight_hits, axis),
-            n_iterations=jax.lax.pmax(res.n_iterations, axis))
+            n_iterations=jax.lax.pmax(res.n_iterations, axis),
+            diag_totals=jax.lax.psum(totals, axis))
 
+    in_specs = (P(axis), P(), P(), P(), P()) + \
+        ((P(axis),) if with_uniforms else ())
     sharded = jax.shard_map(
-        _shard_body, mesh=mesh,
-        in_specs=(P(axis), P(), P(), P(), P()),
+        _shard_body, mesh=mesh, in_specs=in_specs,
         out_specs=P(), check_vma=False)
-    return jax.jit(sharded)
+    fn = jax.jit(sharded)
+
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    def layout_uniforms(uniforms):
+        """(T, 8, n_total) -> packed + device-order-concatenated stream for
+        the extra argument (shard d's lanes read the same uniform values the
+        unsharded run's lanes [d*per:(d+1)*per] would)."""
+        u = jnp.asarray(uniforms, jnp.float32)
+        per = u.shape[2] // n_dev
+        chunks = [FK._layout_uniforms(u[:, :, d * per:(d + 1) * per], spec)
+                  for d in range(n_dev)]
+        return jnp.concatenate(chunks, axis=0)
+
+    def run(*args):
+        return fn(*args)
+    run.backend = "fused"
+    run.backend_reason = None
+    run.spec = spec
+    run.layout_uniforms = layout_uniforms
+    return run
 
 
 def shard_steps(batch: StepBatch, mesh: Mesh, axis: str = PHOTON_AXIS) -> StepBatch:

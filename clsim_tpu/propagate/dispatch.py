@@ -23,7 +23,13 @@ from .engine import PropagationResult, propagate
 from .kernel import fused_supported, propagate_fused
 
 
-def _seed_from_key(key) -> int:
+def _seed_from_key(key):
+    if isinstance(key, jax.core.Tracer):
+        # traced key (e.g. propagate_auto inside a jitted production step):
+        # same mixing, computed on-device
+        ku = jnp.asarray(key).reshape(-1).astype(jnp.uint32)
+        return ((ku[-1] ^ (ku[0] << 16))
+                & jnp.uint32(0x7fffffff)).astype(jnp.int32)
     k = np.asarray(key)
     return int(k[-1]) ^ (int(k[0]) << 16 & 0x7fffffff)
 

@@ -2301,12 +2301,16 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
                        spawn_every=spawn_every, plan=plan)
     if uniforms is not None:
         uniforms = _layout_uniforms(uniforms, spec)
+    # seed stays traced when propagate_auto runs under an outer jit (the
+    # production entry path); the records driver loops host-side and needs
+    # a concrete one
+    seed = seed if isinstance(seed, jax.core.Tracer) else int(seed)
     if spec.records:
         res, totals = _run_fused_records(
-            steps, medium, geo, spectra, int(seed), cfg, spec, max_calls,
+            steps, medium, geo, spectra, seed, cfg, spec, max_calls,
             cell_tab=jnp.asarray(cell_tab), uniforms=uniforms)
     else:
-        res, totals = _run_fused(steps, medium, geo, spectra, int(seed),
+        res, totals = _run_fused(steps, medium, geo, spectra, seed,
                                  cfg, spec, max_calls, scatter_cap,
                                  cell_tab=jnp.asarray(cell_tab),
                                  uniforms=uniforms,

@@ -59,10 +59,17 @@ class TestNativeSampler:
                                       rel=0.05)
 
     def test_throughput(self):
+        # best-of-3: absorbs transient machine load (the floor is ~15x below
+        # the typical ~3e7/s rate, but a fully loaded CI box can still dip a
+        # single run under it)
         n = 1_000_000
-        t0 = time.perf_counter()
-        native.cascade_step_arrays(seed=1, n=n, pos=(0, 0, 0), t0=0.0,
-                                   direction=(0, 0, 1.0), gamma_a=2.5,
-                                   gamma_b=0.63)
-        rate = n / (time.perf_counter() - t0)
-        assert rate > 2e6  # conservative floor; typically ~3e7/s
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            native.cascade_step_arrays(seed=1, n=n, pos=(0, 0, 0), t0=0.0,
+                                       direction=(0, 0, 1.0), gamma_a=2.5,
+                                       gamma_b=0.63)
+            best = max(best, n / (time.perf_counter() - t0))
+            if best > 2e6:
+                break
+        assert best > 2e6  # conservative floor; typically ~3e7/s

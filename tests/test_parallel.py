@@ -107,3 +107,57 @@ def test_bootstrap_single_process_noop(monkeypatch):
     monkeypatch.undo()
     mesh = bootstrap.global_photon_mesh()
     assert mesh.devices.size == len(jax.devices())
+
+
+def test_sharded_fused_matches_engine_shared_stream(mesh):
+    """The sharded production path serves the FUSED kernel (round-3 review
+    item 2): 8 shards each run the fused Pallas kernel (interpret mode) on
+    their slot slice consuming the SAME uniform stream the unsharded engine
+    consumes, and the psum'd histogram must match the engine's to fetch
+    rounding (the scale-out analogue of the reference serving its compiled
+    OpenCL converters through I3CLSimServer, I3CLSimServer.cxx:163-370)."""
+    import dataclasses
+
+    from clsim_tpu.propagate import kernel as FK
+    from tests.test_kernel import (N, T, _run_engine_with_uniforms,
+                                   _workload)
+
+    medium, geo, spectra, cfg, steps, uniforms = _workload()
+    _, acc_e = _run_engine_with_uniforms(steps, medium, geo, spectra, cfg,
+                                         uniforms)
+
+    cfg_s = dataclasses.replace(cfg, n_slots=N // 8)
+    run = make_sharded_propagate(
+        mesh, cfg_s, backend="fused", medium=medium, geo=geo,
+        spectra=spectra, interpret=True, with_uniforms=True,
+        iters_per_call=T, flush_every=1, queue_rows=32)
+    assert run.backend == "fused"
+    res = run(shard_steps(steps, mesh), medium, geo, spectra,
+              jnp.asarray([0, 1], jnp.uint32),
+              run.layout_uniforms(uniforms))
+
+    he = np.asarray(acc_e.hist, np.float64)
+    hk = np.asarray(res.hist, np.float64).reshape(-1)
+    assert float(res.n_generated) == float(acc_e.n_generated)
+    nh_e, nh_k = float(acc_e.n_hits), float(res.n_hits)
+    assert abs(nh_e - nh_k) <= max(2.0, 0.01 * nh_e), (nh_e, nh_k)
+    assert nh_e > 20, "workload produced too few hits to be meaningful"
+    l1 = np.abs(he - hk).sum()
+    assert l1 <= 2e-3 * he.sum() + 1e-6, (l1, he.sum())
+    totals = np.asarray(res.diag_totals, np.float64)
+    assert totals[FK.CNT_DROPPED] == 0.0
+
+
+def test_sharded_auto_backend_reports_fallback(mesh):
+    """backend='auto' without build-time geometry serves the engine and says
+    so; with geometry on CPU (no TPU, no interpret) it also falls back."""
+    medium = make_homogeneous_ice(b400=0.05, a_dust400=0.01)
+    geo = _one_dom_geometry(x=40.0, oversize=5.0)
+    spectra = _spectra()
+    cfg = PropagationConfig(n_slots=128)
+    run = make_sharded_propagate(mesh, cfg)
+    assert run.backend == "engine"
+    run2 = make_sharded_propagate(mesh, cfg, medium=medium, geo=geo,
+                                  spectra=spectra)
+    assert run2.backend == "engine"
+    assert "TPU" in run2.backend_reason
