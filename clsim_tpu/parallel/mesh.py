@@ -191,16 +191,21 @@ class IceFit:
                  geo: DetectorGeometry, spectra: SpectrumTable,
                  learning_rate: float = 1e-3, axis: str = PHOTON_AXIS,
                  max_iterations: int = 64, forward: str = "engine",
-                 interpret: bool = False):
+                 interpret: bool = False, score_function: bool = False):
         """forward='fused' routes the loss's forward pass through the fused
         Pallas expected-estimator kernel (propagate/diff.py) -- the engine
         serves only the VJP.  `interpret` runs the kernel in interpreter
-        mode (CPU tests / dryruns)."""
+        mode (CPU tests / dryruns).  `score_function=True` adds the
+        likelihood-ratio term so scattering-parameter gradients are
+        unbiased (types.PropagationConfig.score_function; costs sampling
+        variance, use larger photon batches per step)."""
         self.mesh = mesh
         self.axis = axis
         self.max_iterations = max_iterations
         cfg_grad = cfg if cfg.estimator == "expected" else \
             _replace_cfg(cfg, estimator="expected", soft_binning=True)
+        if score_function and not cfg_grad.score_function:
+            cfg_grad = _replace_cfg(cfg_grad, score_function=True)
         self.cfg = cfg_grad
         self.geo = geo
         self.spectra = spectra

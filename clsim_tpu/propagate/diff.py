@@ -48,23 +48,32 @@ def _pick_blk(n):
 
 def _make_expected_hist(cfg: PropagationConfig, n_iterations: int,
                         interpret: bool, geo: DetectorGeometry,
-                        spectra: SpectrumTable):
+                        spectra: SpectrumTable, queue_rows: int = 64,
+                        flush_rows=None):
     """Build the custom_vjp function for fixed (static) cfg/geo/spectra.
 
     geo and spectra are closed over concretely (the fused kernel's host-side
     collision planning needs real arrays); medium/steps/uniforms are traced
     arguments.  The backward pass is the engine's VJP on the identical
     uniform stream.
+
+    If the kernel's per-flush compaction cap or queue capacity overflows
+    (coherent workloads deposit on every lane in the same iteration), the
+    histogram is NaN-POISONED instead of silently losing weight: a fit
+    loss goes NaN loudly and the caller raises queue_rows / flush_rows.
     """
+    from .kernel import CNT_DROPPED
 
     @jax.custom_vjp
     def expected_hist(medium, steps, uniforms):
-        res, _ = propagate_fused(
+        res, totals = propagate_fused(
             steps, medium, geo, spectra, seed=0, cfg=cfg,
             iters_per_call=n_iterations, flush_every=1,
-            queue_rows=64, block_lanes=_pick_blk(steps.x.shape[0]),
+            queue_rows=queue_rows, flush_rows=flush_rows,
+            block_lanes=_pick_blk(steps.x.shape[0]),
             max_calls=1, uniforms=uniforms, interpret=interpret)
-        return res.hist
+        poison = jnp.where(totals[CNT_DROPPED] > 0.0, jnp.nan, 0.0)
+        return res.hist + poison
 
     def fwd(medium, steps, uniforms):
         return expected_hist(medium, steps, uniforms), (medium, steps,
@@ -92,7 +101,8 @@ def propagate_expected_diff(steps: StepBatch, medium: MediumProperties,
                             geo: DetectorGeometry, spectra: SpectrumTable,
                             key, cfg: PropagationConfig,
                             n_iterations: int = 64,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            queue_rows: int = 64, flush_rows=None):
     """Differentiable per-DOM hit-time histogram (expected estimator).
 
     Forward: fused Pallas kernel.  Backward: engine AD on the identical
@@ -104,5 +114,6 @@ def propagate_expected_diff(steps: StepBatch, medium: MediumProperties,
         raise ValueError("propagate_expected_diff requires "
                          "cfg.estimator='expected'")
     uniforms = make_uniform_stream(key, n_iterations, int(steps.x.shape[0]))
-    fn = _make_expected_hist(cfg, n_iterations, interpret, geo, spectra)
+    fn = _make_expected_hist(cfg, n_iterations, interpret, geo, spectra,
+                             queue_rows=queue_rows, flush_rows=flush_rows)
     return fn(medium, steps, uniforms)

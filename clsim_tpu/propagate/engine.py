@@ -93,6 +93,9 @@ class SlotState(NamedTuple):
     hist_y: Optional[jnp.ndarray] = None
     hist_z: Optional[jnp.ndarray] = None
     hist_abs: Optional[jnp.ndarray] = None
+    # running log-likelihood of the photon's sampled scatter events
+    # (cfg.score_function; None otherwise) -- see types.PropagationConfig
+    log_lik: Optional[jnp.ndarray] = None
 
 
 class Accumulators(NamedTuple):
@@ -196,7 +199,8 @@ def _create_photons(state: SlotState, steps: StepBatch,
 # ---------------------------------------------------------------------------
 
 def _segment_distances(state: SlotState, medium: MediumProperties,
-                       cfg: PropagationConfig, sca_budget, abs_budget):
+                       cfg: PropagationConfig, sca_budget, abs_budget,
+                       with_score: bool = False):
     """Convert the scattering budget (in scattering lengths) and absorption
     budget (in absorption lengths, anisotropy-corrected) to meters through
     the layered medium, both capped at cfg.max_segment_m.
@@ -205,6 +209,14 @@ def _segment_distances(state: SlotState, medium: MediumProperties,
     geometric distance this segment will cover *before* collision limiting,
     and abs_left_after is the remaining absorption budget if the photon
     travels the full d_prop.
+
+    with_score additionally returns (tau_s_traced, inv_s_fin, t_done): the
+    ingredients of the segment's scattering log-likelihood for the
+    score-function estimator (types.PropagationConfig.score_function) --
+    tau_s_traced is the optical SCATTERING depth over the completed layer
+    crossings with TRACED coefficients but stop-gradiented layer lengths,
+    inv_s_fin the (traced) scattering coefficient of the final layer, and
+    t_done the detachable distance already covered by complete crossings.
     """
     T = medium.layer_height
     L = medium.n_layers
@@ -262,6 +274,9 @@ def _segment_distances(state: SlotState, medium: MediumProperties,
     done = jnp.zeros(n, bool)
     d_scat, d_abs = zeros, zeros
     inv_a = jnp.ones(n, state.x.dtype)
+    sg = jax.lax.stop_gradient
+    tau_s_traced = zeros
+    inv_s_fin = jnp.ones(n, state.x.dtype)
     for k in range(K + 1):
         inv_s_k, inv_a_k = layer_vals(k)
         d_s = t_done + tau_s / inv_s_k
@@ -279,10 +294,15 @@ def _segment_distances(state: SlotState, medium: MediumProperties,
         d_scat = jnp.where(finalize, d_s, d_scat)
         d_abs = jnp.where(finalize, d_a, d_abs)
         inv_a = jnp.where(finalize, inv_a_k, inv_a)
+        if with_score:
+            inv_s_fin = jnp.where(finalize, inv_s_k, inv_s_fin)
 
         dt = t_bound - t_done
         tau_s = jnp.where(cross, tau_s - dt * inv_s_k, tau_s)
         tau_a = jnp.where(cross, tau_a - dt * inv_a_k, tau_a)
+        if with_score:
+            tau_s_traced = jnp.where(cross, tau_s_traced + sg(dt) * inv_s_k,
+                                     tau_s_traced)
         t_done = jnp.where(cross, t_bound, t_done)
         t_bound = jnp.where(cross, t_bound + t_step, t_bound)
         done = done | finalize
@@ -293,6 +313,8 @@ def _segment_distances(state: SlotState, medium: MediumProperties,
     d_scat = jnp.where(done, d_scat, t_done + tau_s / inv_s_last)
     d_abs = jnp.where(done, d_abs, t_done + tau_a / inv_a_last)
     inv_a = jnp.where(done, inv_a, inv_a_last)
+    if with_score:
+        inv_s_fin = jnp.where(done, inv_s_fin, inv_s_last)
 
     absorbed = d_abs < d_scat
     d_prop = jnp.minimum(jnp.minimum(d_scat, d_abs), cfg.max_segment_m)
@@ -301,8 +323,19 @@ def _segment_distances(state: SlotState, medium: MediumProperties,
     absorbed = absorbed & ~capped
     scattered = (~absorbed) & (~capped)
 
-    abs_left_after = jnp.maximum(tau_a - (d_prop - t_done) * inv_a, 0.0)
+    # score mode: the sampled segment length is part of the trajectory law,
+    # whose theta-sensitivity the score term carries -- letting the TRACED
+    # d_prop (through d_scat) also flow into the absorption bookkeeping
+    # would double-count it (measured: a +29.5k spurious pathwise term vs
+    # the -105k FD truth on the beam workload).  Detach the geometry here;
+    # the absorption-parameter channels stay traced via tau_a / inv_a, and
+    # absorbed lanes are zeroed below regardless.
+    d_for_abs = sg(d_prop) if with_score else d_prop
+    abs_left_after = jnp.maximum(tau_a - (d_for_abs - t_done) * inv_a, 0.0)
     abs_left_after = jnp.where(absorbed, 0.0, abs_left_after)
+    if with_score:
+        return (d_prop, absorbed, scattered, abs_left_after,
+                (tau_s_traced, inv_s_fin, t_done))
     return d_prop, absorbed, scattered, abs_left_after
 
 
@@ -467,6 +500,12 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
                                hist_y=clr(state.hist_y),
                                hist_z=clr(state.hist_z),
                                hist_abs=clr(state.hist_abs))
+    use_score = (cfg.score_function and cfg.estimator == "expected"
+                 and cfg.detach_trajectories)
+    if use_score:
+        # fresh photons start with an empty sampled-event log-likelihood
+        state = state._replace(
+            log_lik=jnp.where(fresh, 0.0, state.log_lik))
     state = state._replace(
         in_flight=state.in_flight | fresh,
         photons_left=state.photons_left - fresh.astype(state.photons_left.dtype))
@@ -479,14 +518,27 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
     sca_budget = -jnp.log(rng.uniform_oc(u[4]))
     abs_budget = state.abs_lens_left * abs_corr
 
+    score_info = None
     if "nowalk" in _ablate:
         d_prop = jnp.minimum(sca_budget * 25.0, cfg.max_segment_m)
         absorbed = abs_budget < sca_budget
         scattered = ~absorbed
         abs_left = jnp.maximum(abs_budget - d_prop * 0.01, 0.0)
+    elif use_score:
+        d_prop, absorbed, scattered, abs_left, score_info = \
+            _segment_distances(state, medium, cfg, sca_budget, abs_budget,
+                               with_score=True)
     else:
         d_prop, absorbed, scattered, abs_left = _segment_distances(
             state, medium, cfg, sca_budget, abs_budget)
+    if use_score:
+        # segment scattering log-likelihood ingredients: traced coefficients
+        # x detached geometry (see types.PropagationConfig.score_function)
+        sg = jax.lax.stop_gradient
+        tau_acc, inv_s_fin, t_done_w = score_info
+        tau_seg_s = tau_acc + jnp.maximum(
+            sg(jnp.minimum(d_prop, cfg.max_segment_m) - t_done_w),
+            0.0) * inv_s_fin
     if cfg.estimator == "expected" and cfg.detach_trajectories:
         # detached sampling (see types.PropagationConfig.detach_trajectories):
         # the path geometry is treated as a fixed sample; gradients flow
@@ -538,6 +590,13 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
         frac = jnp.where(has_dp,
                          hit_dist / jnp.where(has_dp, d_prop, 1.0), 0.0)
         w_hit = w_hit * jnp.exp(-(tau_start + frac * tau_seg))
+        if use_score:
+            # likelihood-ratio factor exp(L - sg L) == 1 in the primal; its
+            # gradient is the score of every sampled event up to this
+            # deposit (completed segments + the no-scatter survival to the
+            # DOM within this one)
+            L_dep = state.log_lik - jax.lax.stop_gradient(frac) * tau_seg_s
+            w_hit = w_hit * jnp.exp(L_dep - jax.lax.stop_gradient(L_dep))
         if cfg.expected_angular_poly is not None:
             # fold the per-photon angular acceptance here, where the
             # direction is known (the accept/reject path applies the same
@@ -663,6 +722,36 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
         ray = rayleigh_cos(u[6])
         cos_s = jnp.where(u[5] < medium.scattering.liu_fraction, ray,
                           jnp.cos(angle))
+    if use_score:
+        # accumulate this segment's sampled-event log-likelihood: survival
+        # -int b_eff ds over the traveled distance, plus (scattered lanes)
+        # the exponential distance density's log b_eff(end) and the HG/Liu
+        # mixture angle density at the detached sampled cosine.  All
+        # sampled values are detached; only the medium parameters are
+        # traced, so AD of exp(L - sg L) yields the likelihood-ratio
+        # (score-function) gradient term.
+        sgl = jax.lax.stop_gradient
+        dL = -tau_seg_s + jnp.where(
+            scattered, jnp.log(jnp.maximum(inv_s_fin, 1e-30)), 0.0)
+        if medium.scattering.kind == "icecube":
+            g = medium.scattering.mean_cos
+            f = medium.scattering.liu_fraction
+            c = sgl(cos_s)
+            beta_l = (1.0 - g) / (1.0 + g)
+            half = jnp.clip((1.0 + c) * 0.5, 1e-12, 1.0)
+            log_liu = (-jnp.log(2.0 * beta_l)
+                       + (1.0 / beta_l - 1.0) * jnp.log(half))
+            denom = jnp.maximum(1.0 + g * g - 2.0 * g * c, 1e-12)
+            log_hg = (jnp.log(jnp.maximum(0.5 * (1.0 - g * g), 1e-30))
+                      - 1.5 * jnp.log(denom))
+            fcl = jnp.clip(f, 1e-12, 1.0 - 1e-12)
+            log_p_ang = jnp.where(u[5] < f,
+                                  jnp.log(fcl) + log_liu,
+                                  jnp.log(1.0 - fcl) + log_hg)
+            dL = dL + jnp.where(scattered, log_p_ang, 0.0)
+        # (tabulated water phase functions carry no parametric angle score)
+        state = state._replace(
+            log_lik=jnp.where(active, state.log_lik + dL, state.log_lik))
     sin_s = safe_sqrt(1.0 - cos_s * cos_s)
     sdx, sdy, sdz = scatter_direction_by_angle(cos_s, sin_s, pdx, pdy, pdz, u[7])
     sdx, sdy, sdz = post_scatter_transform(medium.anisotropy, sdx, sdy, sdz)
@@ -703,7 +792,8 @@ def _iteration(i, state: SlotState, acc: Accumulators, steps: StepBatch,
 # driver
 # ---------------------------------------------------------------------------
 
-def _init_state(steps: StepBatch, history_entries: int = 0) -> SlotState:
+def _init_state(steps: StepBatch, history_entries: int = 0,
+                score: bool = False) -> SlotState:
     n = steps.x.shape[0]
     zf = jnp.zeros(n, jnp.float32)
     zi = jnp.zeros(n, jnp.int32)
@@ -719,7 +809,8 @@ def _init_state(steps: StepBatch, history_entries: int = 0) -> SlotState:
         num_scatters=zi, total_path=zf,
         start_x=zf, start_y=zf, start_z=zf, start_t=zf,
         start_dx=zf, start_dy=zf, start_dz=jnp.ones(n, jnp.float32),
-        hist_x=zh, hist_y=zh, hist_z=zh, hist_abs=zh)
+        hist_x=zh, hist_y=zh, hist_z=zh, hist_abs=zh,
+        log_lik=zf if score else None)
 
 
 def _init_acc(n_slots: int, n_doms: int, cfg: PropagationConfig) -> Accumulators:
@@ -764,7 +855,10 @@ def propagate(steps: StepBatch, medium: MediumProperties,
     """
     if uniforms is not None and not max_iterations:
         max_iterations = int(uniforms.shape[0])
-    state = _init_state(steps, cfg.photon_history_entries)
+    state = _init_state(steps, cfg.photon_history_entries,
+                        score=(cfg.score_function
+                               and cfg.estimator == "expected"
+                               and cfg.detach_trajectories))
     acc = _init_acc(steps.x.shape[0], geo.n_doms, cfg)
 
     def body(carry):

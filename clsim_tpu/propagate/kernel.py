@@ -214,6 +214,10 @@ class FusedSpec(NamedTuple):
                                # so the histogram/host side can tell them
                                # from hit entries
     rec_prescale: float = 1.0
+    unroll: int = 1            # inner-loop trips unrolled per fori step:
+                               # probe_pallas8 measured ~1.6 us/block of PURE
+                               # per-trip loop overhead (carries are free),
+                               # so fatter trips amortize it
 
 
 def _split_bf16(tab, n):
@@ -1391,11 +1395,18 @@ def _make_kernel(spec: FusedSpec):
             # (a static structure: no data-dependent control flow needed)
             def live(carry):
                 se = spec.spawn_every
+                uf = spec.unroll
                 if se == 1:
+                    # manual unrolling (Mosaic's fori unroll only supports
+                    # full unroll): uf body calls per loop trip amortize the
+                    # ~1.6 us/block per-trip overhead (probe_pallas8)
                     def inner(ii, c):
-                        return body(oi * spec.flush_every + ii, c, True)
-                    carry = jax.lax.fori_loop(0, spec.flush_every, inner,
-                                              carry)
+                        for j in range(uf):
+                            c = body(oi * spec.flush_every + ii * uf + j,
+                                     c, True)
+                        return c
+                    carry = jax.lax.fori_loop(0, spec.flush_every // uf,
+                                              inner, carry)
                 else:
                     # statically scheduled spawn: one spawning iteration,
                     # then se-1 spawn-free iterations.  The whole group's
@@ -1404,7 +1415,7 @@ def _make_kernel(spec: FusedSpec):
                     # PRNG issue cost and unblocks the iteration pipeline).
                     hoist_rng = "norng" not in ablate
 
-                    def group(gi, c):
+                    def one_group(gi, c):
                         base = oi * spec.flush_every + gi * se
                         if not hoist_rng:
                             c = body(base, c, True)
@@ -1423,7 +1434,11 @@ def _make_kernel(spec: FusedSpec):
                                 for j in range(4)]
                             c = body(base + 1 + k, c, False, u_pre=uk)
                         return c
-                    carry = jax.lax.fori_loop(0, spec.flush_every // se,
+                    def group(gi, c):
+                        for j in range(uf):
+                            c = one_group(gi * uf + j, c)
+                        return c
+                    carry = jax.lax.fori_loop(0, spec.flush_every // (se * uf),
                                               group, carry)
                 if "noflush" in ablate or spec.expected:
                     # expected mode flushes inline per iteration; the
@@ -1652,7 +1667,8 @@ def _cell_plan(geo: DetectorGeometry, cfg: PropagationConfig):
 def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
                 n_slots, iters_per_call, flush_every, queue_rows,
                 block_lanes, splits, external_uniforms, interpret,
-                ablate="", spawn_every=1, plan=None) -> FusedSpec:
+                ablate="", spawn_every=1, plan=None,
+                unroll=1, flush_rows=None) -> FusedSpec:
     S, M, _ = geo.string_dom_rel.shape
     K = cfg.max_layer_steps
     tilt_enabled = medium.tilt.enabled
@@ -1671,7 +1687,14 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         iters_per_call=iters_per_call,
         flush_every=flush_every,
         queue_rows=queue_rows,
-        flush_rows=min(4, queue_rows),
+        # per-flush compaction cap: detect-mode hits are rare (<= one per
+        # lane per flush window), but the expected estimator deposits on
+        # EVERY DOM crossing and coherent workloads (beams) can exceed a
+        # small cap in one iteration -- entries beyond it are DROPPED
+        # (CNT_DROPPED), so expected mode defaults higher
+        flush_rows=(min(flush_rows, queue_rows) if flush_rows
+                    else min(8 if cfg.estimator == "expected" else 4,
+                             queue_rows)),
         K=K,
         L=medium.n_layers,
         Lpad=-(-medium.n_layers // 8) * 8,
@@ -1702,6 +1725,7 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         records=bool(cfg.save_photons and cfg.estimator == "detect"),
         rec_all=bool(cfg.save_photons and cfg.save_all_photons),
         rec_prescale=float(cfg.save_all_prescale),
+        unroll=unroll,
         expected=cfg.estimator == "expected",
         soft=cfg.soft_binning,
         ang_poly=tuple(cfg.expected_angular_poly or ()),
@@ -2266,6 +2290,8 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
                     uniforms=None,
                     interpret: bool = False,
                     allow_uniform_replay: bool = False,
+                    unroll: int = 1,
+                    flush_rows: Optional[int] = None,
                     ablate: str = "") -> PropagationResult:
     """Drive the fused kernel until all photons are drained.
 
@@ -2289,6 +2315,9 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
     if uniforms is None and flush_every % spawn_every:
         raise ValueError("flush_every must be a multiple of spawn_every "
                          "(static spawn scheduling)")
+    se_eff = 1 if uniforms is not None else spawn_every
+    if (flush_every // se_eff) % unroll:
+        raise ValueError("unroll must divide flush_every // spawn_every")
     if uniforms is not None and max_calls != 1 and not allow_uniform_replay:
         raise ValueError("external uniforms (parity mode) require "
                          "max_calls=1: each call would replay the same "
@@ -2298,7 +2327,8 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
     spec = _build_spec(medium, geo, spectra, cfg, n, iters_per_call,
                        flush_every, queue_rows, block_lanes, splits,
                        uniforms is not None, interpret, ablate,
-                       spawn_every=spawn_every, plan=plan)
+                       spawn_every=spawn_every, plan=plan, unroll=unroll,
+                       flush_rows=flush_rows)
     if uniforms is not None:
         uniforms = _layout_uniforms(uniforms, spec)
     # seed stays traced when propagate_auto runs under an outer jit (the

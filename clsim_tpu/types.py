@@ -163,9 +163,26 @@ class PropagationConfig:
     # (chaotic paths); detached sampling is stable and EXACT for
     # absorption-side parameters (the expected-estimator trajectory law
     # does not depend on them, up to the exp(-horizon) cutoff).  Scattering-
-    # parameter gradients omit the sampling-score term (documented bias;
-    # the score-function correction is a planned estimator).
+    # parameter gradients omit the sampling-score term unless
+    # score_function=True adds it back (below).
     detach_trajectories: bool = True
+    # Score-function (likelihood-ratio) correction for detached sampling
+    # (expected estimator + detach_trajectories only): every deposit is
+    # multiplied by exp(L - stop_grad(L)) where L is the photon's running
+    # log-likelihood of its SAMPLED scatter events -- per segment the
+    # no-scatter survival -int b_eff ds (traced coefficients, detached
+    # geometry), per scatter the distance density log b_eff(end) and the
+    # HG/Liu mixture angle density.  The primal is exactly unchanged
+    # (exp(0) = 1), so the fused forward needs no modification; the engine
+    # backward then carries pathwise + score terms, an unbiased estimator
+    # of d E[hist] / d(scattering params) including the discontinuous
+    # hit/miss contribution detached-pathwise AD misses (round-3 review
+    # item 3).  Tradeoff: the score term's variance grows with scatter
+    # count (~31 events/photon on bench ice), so fits need larger photon
+    # batches per step than the absorption-only detached estimator;
+    # tests/test_diff.py::test_score_function_recovers_scattering_gradient
+    # measures the bias/variance on the review workload.
+    score_function: bool = False
 
     @property
     def hist_dt(self) -> float:
