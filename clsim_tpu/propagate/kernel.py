@@ -125,6 +125,35 @@ PF_LEN = 59
  CNT_WORK) = range(7)
 
 
+class SubPlan(NamedTuple):
+    """Static per-subdetector collision plan (hashable; lives inside
+    FusedSpec.sub_plans).  The TPU form of the reference's per-subdetector
+    cell grids + per-stringset z-layer tables
+    (sparse_collision_kernel.c.cl:305-460 DO_CHECK macros,
+    I3CLSimHelperGenerateGeometrySource per-stringSet tables): strings are
+    grouped by their (z0, dz, nd) DOM grid, each group gets its OWN 2-D
+    cell cull, candidate count sized by its own dz, and a test-round count
+    PROVEN sufficient by static geometry -- so a dense infill (DeepCore)
+    no longer taxes every main-array lane with its fine z-granularity."""
+    n_cells: int          # padded cell-table width for this group
+    K_cand: int           # padded candidate strings per cell
+    x0: float
+    y0: float
+    inv_cell: float
+    nx: int
+    ny: int
+    n_dom_cand: int       # z-window candidates (from THIS group's dz)
+    rounds: int           # closest-string test rounds (static-geometry
+                          # bound: > max simultaneous culled strings never
+                          # helps, see _max_simultaneous)
+    uz_z0: float          # shared DOM z-grid of the group
+    uz_dz: float
+    uz_nd: float
+    minz: float           # z-extent for the cull's pass_z test
+    maxz: float
+    row_off: int          # first row of this group's block in cell_tab
+
+
 class FusedSpec(NamedTuple):
     """Static kernel specialization (hashable jit/static argument)."""
     n_blocks: int
@@ -218,6 +247,8 @@ class FusedSpec(NamedTuple):
                                # probe_pallas8 measured ~1.6 us/block of PURE
                                # per-trip loop overhead (carries are free),
                                # so fatter trips amortize it
+    sub_plans: tuple = ()      # per-subdetector SubPlans (affine uniform-z
+                               # groups); () = legacy single global plan
 
 
 def _split_bf16(tab, n):
@@ -387,11 +418,12 @@ def _make_kernel(spec: FusedSpec):
             # segment compare columns (x0, x1_cmp) -- transposed once
             bias_x0c = jnp.transpose(bias_ref[2:3, :], (1, 0))
             bias_x1c = jnp.transpose(bias_ref[4:5, :], (1, 0))
-        # feature-major cell rows [sx sy minz maxz maxr2 off | z0 dzf nd |
-        # sidx]; uniform-z affine mode needs only the first 6 blocks, the
-        # general path all 10 (the fetch cost scales with rows)
+        # feature-major cell rows [sx sy maxr2 off | minz maxz z0 dzf nd |
+        # sidx]; uniform-z affine mode needs only the first 4 blocks (its
+        # z-pass test and z-grid come from scalar params), non-uniform
+        # affine 9, the general path all 10 (fetch cost scales with rows)
         if spec.affine_doms:
-            n_cell_feat = 6 if spec.uniform_z else 9
+            n_cell_feat = 4 if spec.uniform_z else 9
         else:
             n_cell_feat = 10
         cell_splits = _split_bf16(
@@ -837,11 +869,11 @@ def _make_kernel(spec: FusedSpec):
             cf = _fetch(cell_splits, ohc, spec.splits)       # (n_feat*C, BLK)
             sxc = cf[0 * C:1 * C]
             syc = cf[1 * C:2 * C]
-            minzc = cf[2 * C:3 * C]
-            maxzc = cf[3 * C:4 * C]
-            maxr2c = cf[4 * C:5 * C]
-            offc = cf[5 * C:6 * C]
+            maxr2c = cf[2 * C:3 * C]
+            offc = cf[3 * C:4 * C]
             if not (spec.affine_doms and spec.uniform_z):
+                minzc = cf[4 * C:5 * C]
+                maxzc = cf[5 * C:6 * C]
                 z0c = cf[6 * C:7 * C]
                 dzc = cf[7 * C:8 * C]
                 ndc = cf[8 * C:9 * C]
@@ -852,8 +884,17 @@ def _make_kernel(spec: FusedSpec):
             ry = syc - fy_
             bd2 = rx * fdx + ry * fdy
             A2c = rx * rx + ry * ry
-            pass_z = ~((fdz > 0) & (fz_ > maxzc + Rcol)) \
-                & ~((fdz < 0) & (fz_ < minzc - Rcol))
+            if spec.affine_doms and spec.uniform_z:
+                # every string shares the z-extent: one (1, BLK) test from
+                # the scalar z-grid broadcasts over candidates
+                uz_z1 = pf(PF_UZ_Z0) + pf(PF_UZ_DZ) * (pf(PF_UZ_ND) - 1.0)
+                uz_lo = jnp.minimum(pf(PF_UZ_Z0), uz_z1)
+                uz_hi = jnp.maximum(pf(PF_UZ_Z0), uz_z1)
+                pass_z = ~((fdz > 0) & (fz_ > uz_hi + Rcol)) \
+                    & ~((fdz < 0) & (fz_ < uz_lo - Rcol))
+            else:
+                pass_z = ~((fdz > 0) & (fz_ > maxzc + Rcol)) \
+                    & ~((fdz < 0) & (fz_ < minzc - Rcol))
             # rank with the STATIC segment cap instead of this segment's
             # d_prop: candidates beyond d_prop are rejected by the sphere
             # test's distance gate anyway, and the constant cap removes the
@@ -868,6 +909,10 @@ def _make_kernel(spec: FusedSpec):
             pass_r = dist2 <= maxr2c
             cand = pass_r & pass_z & fact
             ranked = jnp.where(cand, dist2, BIG)
+            if "cullfetchonly" in ablate:
+                # probe (combine with nosphere): cell fetch stays live, the
+                # per-candidate cull math above becomes dead code
+                ranked = jnp.where(cf[0:C] > BIG, 0.0, BIG)
 
             # ---------- tilt + layer walk (kernel:598-696) -----------------
             shift_z = (jnp.zeros_like(z) if "notilt" in ablate
@@ -880,6 +925,8 @@ def _make_kernel(spec: FusedSpec):
             oh_w = (iota_L == flat(j0).astype(jnp.int32)).astype(jnp.bfloat16)
             win = _fetch(walk_splits, oh_w, spec.splits)     # (3Wp, BLK)
             win3 = win.reshape(win.shape[0], RB, LANES)
+            if "nowalkfetch" in ablate:  # probe: one-hot+fetch become dead
+                win3 = jnp.full_like(win3, 0.05)
 
             # per-photon optical coefficients were computed at spawn
             gs, pa, qa, ra = gsv, pav, qav, rav
@@ -943,12 +990,17 @@ def _make_kernel(spec: FusedSpec):
                 CA_list.append(acca)
             tau_s_all = rep(sca_budget) - jnp.concatenate(CS_list, axis=0)
             tau_a_all = rep(abs_budget) - jnp.concatenate(CA_list, axis=0)
-            ds_all = t_prev + tau_s_all / inv_s_all
-            da_all = t_prev + tau_a_all / inv_a_all
+            # division-free exhaustion test: t_k >= t_prev + tau/inv
+            # <=> (t_k - t_prev)*inv >= tau (inv > 0 by table padding) --
+            # a wide f32 division costs ~7x a multiply on the VPU and this
+            # stack is the kernel's widest, so the division happens ONCE on
+            # the narrow picked winner below instead of per candidate row
+            dt_k = t_k - t_prev
             cur_j = rep(j0) + kconst * rep(jnp.where(going_up, 1.0, -1.0))
             at_edge = (up_m & (cur_j >= spec.L - 1)) \
                 | ((~up_m) & (cur_j <= 0))
-            cond = (t_k >= jnp.minimum(ds_all, da_all)) | at_edge \
+            cond = (dt_k * inv_s_all >= tau_s_all) \
+                | (dt_k * inv_a_all >= tau_a_all) | at_edge \
                 | (t_k >= max_seg) | (kconst >= float(K))
             c3 = cond.reshape(Kp1, RB, LANES)
             seen = jnp.zeros((RB, LANES), bool)
@@ -961,13 +1013,21 @@ def _make_kernel(spec: FusedSpec):
             def pick_k(stack):
                 return jnp.sum((first * stack).reshape(Kp1, RB, LANES),
                                axis=0)
-            d_scat = pick_k(ds_all)
-            d_abs = pick_k(da_all)
+            tau_s_w = pick_k(tau_s_all)
+            inv_s_w = pick_k(inv_s_all)
             inv_a_fin = pick_k(inv_a_all)
             tau_a = pick_k(tau_a_all)
             t_done = pick_k(t_prev)
+            d_scat = t_done + tau_s_w / inv_s_w
+            d_abs = t_done + tau_a / inv_a_fin
             if "nowalk" in ablate:   # static: the walk above becomes dead code
                 d_scat = sca_budget * 25.0
+                d_abs = abs_budget * 25.0
+                t_done = jnp.zeros_like(x)
+                tau_a = abs_budget
+                inv_a_fin = jnp.full_like(x, 1.0 / 25.0)
+            if "walkfetchonly" in ablate:  # probe: stacked walk math dead,
+                d_scat = sca_budget * 25.0 + win3[0] * 1e-20  # fetch live
                 d_abs = abs_budget * 25.0
                 t_done = jnp.zeros_like(x)
                 tau_a = abs_budget
@@ -1065,8 +1125,11 @@ def _make_kernel(spec: FusedSpec):
                     inv_dzf = 1.0 / fdzf_s
                     m1 = (z_s - fz0_s) * inv_dzf
                     m2 = m1 + dz_s * dp_s * inv_dzf
-                    mlo = jnp.floor(jnp.minimum(m1, m2)
-                                    - margin * jnp.abs(inv_dzf))
+                    # ceil anchor: the lowest integer index >= the window's
+                    # lower edge -- one fewer candidate than a floor anchor
+                    # needs (see _affine_collision_plan)
+                    mlo = -jnp.floor(-(jnp.minimum(m1, m2)
+                                       - margin * jnp.abs(inv_dzf)))
                     nd1 = fnd_s - 1.0
                     # candidate axis: stacked offsets from mlo
                     m_sc = jnp.clip(
@@ -1578,38 +1641,25 @@ def _affine_collision_plan(geo: DetectorGeometry, cfg: PropagationConfig,
         return False, 0
     min_dz = float(np.abs(dzf[multi]).min()) if multi.any() else 1.0
     margin = geo.collision_radius + 1.0
-    n_cand = int(np.ceil((cfg.max_segment_m + 2 * margin) / min_dz)) + 2
+    # the kernel anchors its candidate enumeration at ceil(lowest needed
+    # index), so ceil(span) + 1 indices always cover the window (at most
+    # floor(span)+1 integers fit in a span, +1 for the fractional anchor)
+    n_cand = int(np.ceil((cfg.max_segment_m + 2 * margin) / min_dz)) + 1
     if n_cand > 16:
         return False, 0
     return True, n_cand
 
 
-def _cell_plan(geo: DetectorGeometry, cfg: PropagationConfig):
-    """Static 2-D cell-grid cull plan (numpy; geometry is static).
-
-    The TPU analog of the reference's per-subdetector cell grid
-    (I3CLSimHelperGenerateGeometrySource.cxx cell tables;
-    sparse_collision_kernel.c.cl:194-460): precompute, per grid cell, every
-    string a segment *starting* in that cell could reach within
-    max_segment_m + string_max_r (string_max_r already includes the
-    collision radius).  Equivalent to the dense all-strings cull because a
-    string outside that reach can never pass the point-to-segment test.
-
-    Returns (cell_tab, plan): cell_tab is (10*K_cand, NC_pad) f32 with
-    feature-major rows [sx, sy, minz, maxz, maxr2, off, z0, dzf, nd, sidx]
-    per candidate (optional blocks last so specialized modes can fetch a
-    prefix); plan carries the static grid constants for the spec.
-    """
-    sx = np.asarray(geo.string_x, np.float64)
-    sy = np.asarray(geo.string_y, np.float64)
-    smaxr = np.asarray(geo.string_max_r, np.float64)
-    feats = np.asarray(geo.string_features, np.float64)   # (S, 8)
-    reach = float(cfg.max_segment_m) + smaxr + 1.0        # (S,) per string
+def _grid_search(sx, sy, reach, max_cells=512, n_feat=10):
+    """Pick the cheapest 2-D cell grid for one string set: per grid cell,
+    the candidate list is every string reachable from a segment starting in
+    that cell (within max_segment + string reach).  Returns
+    (cell, nx, ny, lists, Kp, NCp, gx0, gy0)."""
     gx0 = float((sx - reach).min())
     gx1 = float((sx + reach).max())
     gy0 = float((sy - reach).min())
     gy1 = float((sy + reach).max())
-    base = float(cfg.max_segment_m) + float(smaxr.max()) + 1.0
+    base = float(reach.max())
 
     best = None
     mults = (0.5, 0.75, 1.0, 1.5, 2.0, 4.0, 1e9)
@@ -1620,7 +1670,7 @@ def _cell_plan(geo: DetectorGeometry, cfg: PropagationConfig):
         cell = base * mult
         nx = max(int(np.ceil((gx1 - gx0) / cell)), 1)
         ny = max(int(np.ceil((gy1 - gy0) / cell)), 1)
-        if nx * ny > 512:
+        if nx * ny > max_cells:
             continue
         lists = []
         kmax = 1
@@ -1639,22 +1689,148 @@ def _cell_plan(geo: DetectorGeometry, cfg: PropagationConfig):
         # cull math (~26 VPU ops) + the bf16-split MXU fetch, whose row
         # count quantizes to 128-row tiles (measured: the fetch is a
         # first-order cost at large Kp*NCp)
-        tiles = -(-10 * Kp // 128)
+        tiles = -(-n_feat * Kp // 128)
         cost = 2 * NCp + 26 * Kp + 6 * tiles * NCp
         if best is None or cost < best[0]:
             best = (cost, cell, nx, ny, lists, Kp, NCp)
     _, cell, nx, ny, lists, Kp, NCp = best
+    return cell, nx, ny, lists, Kp, NCp, gx0, gy0
+
+
+def _max_simultaneous(sx, sy, maxr, seg) -> int:
+    """Static upper bound on how many strings of this set one segment can
+    cull simultaneously: two strings can both pass the point-to-segment
+    test only if their 2-D separation <= segment length + both radial
+    reaches, so any co-passing set lies inside every member's
+    possible-pair neighborhood -- the max neighborhood size (incl. self)
+    bounds the set.  Test rounds beyond this bound provably never find
+    anything (the reference tests every culled string,
+    sparse_collision_kernel.c.cl:462-587; engine parity holds because the
+    engine's extra global rounds also find nothing)."""
+    sx = np.asarray(sx, np.float64)
+    sy = np.asarray(sy, np.float64)
+    maxr = np.asarray(maxr, np.float64)
+    D = np.hypot(sx[:, None] - sx[None, :], sy[:, None] - sy[None, :])
+    possible = D <= seg + maxr[:, None] + maxr[None, :]
+    return int(possible.sum(axis=1).max())
+
+
+def _subdet_plans(geo: DetectorGeometry, cfg: PropagationConfig,
+                  ablate: str = ""):
+    """Build per-subdetector SubPlans when the geometry allows: affine
+    DOM placement and few (z0, dz, nd) groups, each uniform within itself.
+    Returns (cell_tab, plans) or None (caller falls back to the legacy
+    single global plan)."""
+    if "noaffine" in ablate or "nosubdet" in ablate:
+        return None
+    affine_ok, _ = _affine_collision_plan(geo, cfg, ablate)
+    if not affine_ok:
+        return None
+    feats = np.asarray(geo.string_features, np.float64)   # (S, 8)
+    keys = [tuple(np.round(feats[s, [4, 5, 7]], 6)) for s in
+            range(feats.shape[0])]
+    groups = {}
+    for s, k in enumerate(keys):
+        groups.setdefault(k, []).append(s)
+    if len(groups) > 4:
+        return None
+    sxa = np.asarray(geo.string_x, np.float64)
+    sya = np.asarray(geo.string_y, np.float64)
+    smaxr = np.asarray(geo.string_max_r, np.float64)
+    margin = geo.collision_radius + 1.0
+    seg = float(cfg.max_segment_m)
+
+    plans = []
+    blocks = []
+    row_off = 0
+    width = 0
+    for key, idx in sorted(groups.items(), key=lambda kv: -len(kv[1])):
+        idx = np.asarray(idx)
+        z0, dzf, nd = key
+        dz_abs = abs(dzf) if nd > 1 else 1.0
+        n_cand = int(np.ceil((seg + 2 * margin) / dz_abs)) + 1
+        if n_cand > 16:
+            return None
+        rounds = min(cfg.strings_per_photon,
+                     _max_simultaneous(sxa[idx], sya[idx], smaxr[idx], seg))
+        reach = seg + smaxr[idx] + 1.0
+        cell, nx, ny, lists, Kp, NCp, gx0, gy0 = _grid_search(
+            sxa[idx], sya[idx], reach, n_feat=4)
+        # per-group table block: 4 feature-major rows [sx, sy, maxr2, off]
+        tab = np.zeros((4 * Kp, NCp), np.float32)
+        tab[2 * Kp:3 * Kp, :] = -1.0       # maxr2 padding fails the cull
+        maxr2 = smaxr ** 2
+        for ci, cand in enumerate(lists):
+            for k, s_local in enumerate(cand):
+                s = int(idx[s_local])
+                col = [feats[s, 0], feats[s, 1], maxr2[s], feats[s, 6]]
+                for f in range(4):
+                    tab[f * Kp + k, ci] = col[f]
+        z1 = z0 + dzf * (nd - 1)
+        plans.append(SubPlan(
+            n_cells=NCp, K_cand=Kp, x0=gx0, y0=gy0, inv_cell=1.0 / cell,
+            nx=nx, ny=ny, n_dom_cand=n_cand, rounds=rounds,
+            uz_z0=float(z0), uz_dz=float(dzf if dzf != 0.0 else 1.0),
+            uz_nd=float(nd), minz=float(min(z0, z1)),
+            maxz=float(max(z0, z1)), row_off=row_off))
+        blocks.append(tab)
+        row_off += tab.shape[0]
+        width = max(width, NCp)
+    # engine parity: the engine tests the global top-strings_per_photon by
+    # rank; the split tests up to sum(rounds) strings.  When every group's
+    # rounds equal its static max-simultaneous bound and the total fits in
+    # the engine's budget, both test the FULL culled set -- identical
+    # accept sets.  Otherwise fall back to the global plan.
+    if sum(p.rounds for p in plans) > cfg.strings_per_photon \
+            and len(plans) > 1:
+        return None
+    cell_tab = np.zeros((row_off, width), np.float32)
+    r = 0
+    for tab in blocks:
+        # padding columns beyond a narrow group's width keep maxr2 = -1
+        cell_tab[r:r + tab.shape[0], :tab.shape[1]] = tab
+        cell_tab[r + (tab.shape[0] // 4) * 2:
+                 r + (tab.shape[0] // 4) * 3, tab.shape[1]:] = -1.0
+        r += tab.shape[0]
+    return cell_tab, tuple(plans)
+
+
+def _cell_plan(geo: DetectorGeometry, cfg: PropagationConfig):
+    """Static 2-D cell-grid cull plan (numpy; geometry is static).
+
+    The TPU analog of the reference's per-subdetector cell grid
+    (I3CLSimHelperGenerateGeometrySource.cxx cell tables;
+    sparse_collision_kernel.c.cl:194-460): precompute, per grid cell, every
+    string a segment *starting* in that cell could reach within
+    max_segment_m + string_max_r (string_max_r already includes the
+    collision radius).  Equivalent to the dense all-strings cull because a
+    string outside that reach can never pass the point-to-segment test.
+
+    Returns (cell_tab, plan): cell_tab is (10*K_cand, NC_pad) f32 with
+    feature-major rows [sx, sy, maxr2, off, minz, maxz, z0, dzf, nd, sidx]
+    per candidate (optional blocks last so specialized modes can fetch a
+    prefix); plan carries the static grid constants for the spec.
+    """
+    sx = np.asarray(geo.string_x, np.float64)
+    sy = np.asarray(geo.string_y, np.float64)
+    smaxr = np.asarray(geo.string_max_r, np.float64)
+    feats = np.asarray(geo.string_features, np.float64)   # (S, 8)
+    reach = float(cfg.max_segment_m) + smaxr + 1.0        # (S,) per string
+    cell, nx, ny, lists, Kp, NCp, gx0, gy0 = _grid_search(sx, sy, reach,
+                                                          n_feat=10)
 
     tab = np.zeros((10 * Kp, NCp), np.float32)
-    tab[4 * Kp:5 * Kp, :] = -1.0          # maxr2: padding fails the cull
+    tab[2 * Kp:3 * Kp, :] = -1.0          # maxr2: padding fails the cull
     tab[7 * Kp:8 * Kp, :] = 1.0           # dzf: keep index math finite
     tab[8 * Kp:9 * Kp, :] = 1.0           # nd
     tab[9 * Kp:10 * Kp, :] = -1.0         # sidx: padding selects nothing
     maxr2 = np.asarray(geo.string_max_r, np.float64) ** 2
     for ci, cand in enumerate(lists):
         for k, s in enumerate(cand):
-            col = [feats[s, 0], feats[s, 1], feats[s, 2], feats[s, 3],
-                   maxr2[s], feats[s, 6], feats[s, 4],
+            # feature order [sx sy maxr2 off minz maxz z0 dzf nd sidx]:
+            # specialized modes fetch a prefix (see _make_kernel)
+            col = [feats[s, 0], feats[s, 1], maxr2[s], feats[s, 6],
+                   feats[s, 2], feats[s, 3], feats[s, 4],
                    feats[s, 5] if feats[s, 5] != 0.0 else 1.0,
                    feats[s, 7], float(s)]
             for f in range(10):

@@ -170,3 +170,133 @@ class DetailedCascadePropagator:
             weight=np.ones(n, np.float32),
             identifier=np.full(n, identifier, np.int32),
             source_type=np.zeros(n, np.int32)))
+
+
+class DetailedMuonPropagator:
+    """Muon-capable detailed propagator: segmented bare-muon Cherenkov
+    steps PLUS discrete stochastic losses emitted as SECONDARY cascades
+    through ``emit_secondary`` -- each re-enters the converter chain and is
+    served by whatever cascade handler is registered (PPC parameterization
+    or DetailedCascadePropagator).  This exercises the propagator seam the
+    way the reference's tracking does: TrkCerenkov serves any charged
+    particle the tracker produces (private/geant4/TrkCerenkov.cxx:120-619),
+    and a muon's light is bare-track Cherenkov plus its stochastic-loss
+    showers.
+
+    Yield contract (tests/test_detailed.py): the PPC muon parameterization
+    emits mean_ppm * length * extr photons with
+    extr = 1 + max(0, 0.1880 + 0.0206 ln E) (PPC.cxx:821-843; sources/
+    ppc.py:240-259), the bare-muon share being 1/extr.  Here the bare track
+    emits mean_ppm * length directly, and the stochastic losses carry a
+    cascade-equivalent energy E_sec = (extr - 1) * length / nph_per_gev so
+    that E[bare + secondary yield] equals the PPC total -- but as DISCRETE
+    cascades at sampled track positions with a 1/E^2 loss spectrum
+    (brems/pair/delta-like) instead of PPC's uniform continuous smear.
+    """
+
+    def __init__(self, medium: MediumProperties,
+                 spectrum: WavelengthSpectrum,
+                 segment_length_m: float = 10.0,
+                 photons_per_step: int = 200,
+                 loss_e_min_gev: float = 0.5,
+                 loss_e_max_gev: Optional[float] = None,
+                 secondary_type=None,
+                 max_energy_gev: float = float("inf")):
+        from .particles import ParticleType
+        self.medium = medium
+        self.segment_length = float(segment_length_m)
+        self.photons_per_step = int(photons_per_step)
+        self.loss_e_min = float(loss_e_min_gev)
+        self.loss_e_max = loss_e_max_gev
+        self.secondary_type = secondary_type or ParticleType.EMinus
+        self.max_energy = float(max_energy_gev)
+        self.density = float(medium.density)
+        self.mean_ppm = float(photons_per_meter(
+            medium.ref_index, np.asarray(spectrum.bias_x),
+            np.asarray(spectrum.bias_y), medium.min_wlen, medium.max_wlen))
+        # cascade track length per GeV (the PPC nph normalization)
+        self.nph_per_gev = PPC_NPH_CONST * (PPC_NPH_REF_DENSITY
+                                            / self.density)
+
+    # -- LightSourcePropagator protocol --------------------------------
+    def is_valid_for(self, source) -> bool:
+        from .particles import MUON_TYPES
+        return (isinstance(source, Particle)
+                and source.ptype in MUON_TYPES
+                and not getattr(source, "daughters", ())
+                and source.energy <= self.max_energy)
+
+    def convert(self, source: Particle, identifier: int,
+                emit_secondary, emit_steps,
+                rng: np.random.Generator) -> None:
+        E = source.energy
+        length = source.length
+        if math.isnan(length):
+            length = 2000.0
+        if length <= 0.0 or E <= 0.0:
+            return
+
+        # ---- bare-muon Cherenkov: per-segment Poisson steps, beta = 1 ----
+        n_seg = max(1, int(math.ceil(length / self.segment_length)))
+        seg_len = length / n_seg
+        num = rng.poisson(self.mean_ppm * seg_len, n_seg)
+        keep = np.nonzero(num > 0)[0]
+        if keep.size:
+            rows: List[int] = []
+            counts: List[int] = []
+            for i in keep:
+                n_i = int(num[i])
+                while n_i > 0:
+                    c = min(n_i, self.photons_per_step)
+                    rows.append(int(i))
+                    counts.append(c)
+                    n_i -= c
+            rowsa = np.asarray(rows, np.int64)
+            counts_a = np.asarray(counts, np.int32)
+            d0 = rowsa * seg_len
+            n = rowsa.shape[0]
+            emit_steps(StepBatch(
+                x=(source.x + d0 * source.dir_x).astype(np.float32),
+                y=(source.y + d0 * source.dir_y).astype(np.float32),
+                z=(source.z + d0 * source.dir_z).astype(np.float32),
+                t=(source.time + d0 / C_LIGHT).astype(np.float32),
+                dir_x=np.full(n, source.dir_x, np.float32),
+                dir_y=np.full(n, source.dir_y, np.float32),
+                dir_z=np.full(n, source.dir_z, np.float32),
+                length=np.full(n, seg_len, np.float32),
+                beta=np.ones(n, np.float32),
+                num_photons=counts_a,
+                weight=np.ones(n, np.float32),
+                identifier=np.full(n, identifier, np.int32),
+                source_type=np.zeros(n, np.int32)))
+
+        # ---- stochastic losses as secondary cascades ---------------------
+        log_e = math.log(max(E, 1.0))
+        extr = 1.0 + max(0.0, 0.1880 + 0.0206 * log_e)
+        e_sec_total = (extr - 1.0) * length / self.nph_per_gev
+        if e_sec_total <= 0.0:
+            return
+        a = self.loss_e_min
+        b = self.loss_e_max if self.loss_e_max is not None else max(
+            2.0 * a, 0.5 * E)
+        if b <= a:
+            a, b = 0.5 * b, b
+        # 1/E^2 spectrum on [a, b]: norm = 1/a - 1/b, mean = ln(b/a)/norm
+        norm = 1.0 / a - 1.0 / b
+        mean_loss = math.log(b / a) / norm
+        n_loss = rng.poisson(e_sec_total / mean_loss)
+        if n_loss == 0:
+            return
+        u = rng.random(n_loss)
+        e_loss = 1.0 / (1.0 / a - u * norm)
+        d = rng.random(n_loss) * length
+        for k in range(n_loss):
+            emit_secondary(Particle(
+                ptype=self.secondary_type,
+                x=source.x + d[k] * source.dir_x,
+                y=source.y + d[k] * source.dir_y,
+                z=source.z + d[k] * source.dir_z,
+                time=source.time + d[k] / C_LIGHT,
+                energy=float(e_loss[k]),
+                dir_x=source.dir_x, dir_y=source.dir_y,
+                dir_z=source.dir_z))

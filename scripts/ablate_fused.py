@@ -49,14 +49,26 @@ def main():
             ablate=ablate)
         return totals
 
+    # compile every ablation first, then INTERLEAVE reps round-robin so
+    # relay drift (+-15-25% over minutes) hits all variants equally -- the
+    # only trustworthy protocol on this target (NOTES_ROUND3 / memory)
+    runs = {}
+    for ab in ABLATIONS:
+        def mk(ab):
+            return lambda seed: run(ab, seed)
+        runs[ab] = mk(ab)
+        sync(runs[ab](1)[CNT_GEN])   # compile + warm
+    times = {ab: [] for ab in ABLATIONS}
+    for r in range(reps):
+        for ab in ABLATIONS:
+            t0 = time.perf_counter()
+            sync(runs[ab](2 + r)[CNT_GEN])
+            times[ab].append(time.perf_counter() - t0)
     base = None
     for ab in ABLATIONS:
-        sync(run(ab, 1)[CNT_GEN])   # compile + warm
-        t0 = time.perf_counter()
-        for r in range(reps):
-            sync(run(ab, 2 + r)[CNT_GEN])
-        dt = (time.perf_counter() - t0) / reps
-        us_per_iter = dt / T * 1e6 * (262144 / n_slots)
+        tt = sorted(times[ab])
+        med = tt[len(tt) // 2]
+        us_per_iter = med / T * 1e6 * (262144 / n_slots)
         if ab == "":
             base = us_per_iter
             print(f"{'base':<28} {us_per_iter:8.1f} us/iter", flush=True)

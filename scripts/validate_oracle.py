@@ -19,6 +19,10 @@ Configs (the BASELINE correctness matrix):
   cascade  -- #1: cascade-like isotropic steps, tilt + anisotropy (default)
   muon     -- #2: muon track through PARSED spice_lea (tilt + anisotropy)
   flasher  -- #3: LED flasher pulses (multi-spectrum source_type dispatch)
+  cascade-biased -- #4: config #1 with the dom2007a wavelength bias ON:
+              the PRODUCTION weighted path (weight = step.weight/bias), with
+              z-scores using full sum(w^2) effective-variance propagation
+              (round-3 review item 10)
 """
 import argparse
 import os
@@ -41,7 +45,8 @@ from clsim_tpu.validate.oracle import oracle_propagate
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("n_photons", nargs="?", type=int, default=1_000_000)
-    ap.add_argument("--config", choices=["cascade", "muon", "flasher"],
+    ap.add_argument("--config", choices=["cascade", "muon", "flasher",
+                                         "cascade-biased"],
                     default="cascade")
     args = ap.parse_args()
     n_photons = args.n_photons
@@ -49,8 +54,9 @@ def main():
     # are valid.  (With the bias on, weights are heavy-tailed ~1/bias and a
     # per-bin z needs full sum(w^2) error propagation; the bias-unfolding
     # contract is covered by robust quantiles in tests/test_oracle.py.)
-    if args.config == "cascade":
-        medium, geo, spectra, cfg, steps = _workload(bias=False)
+    biased = args.config == "cascade-biased"
+    if args.config in ("cascade", "cascade-biased"):
+        medium, geo, spectra, cfg, steps = _workload(bias=biased)
         oracle_spectra = (np.asarray(spectra.x[0]),
                           np.asarray(spectra.beta[0]))
     elif args.config == "muon":
@@ -74,20 +80,38 @@ def main():
           f"(backend auto, platform {jax.devices()[0].platform})")
 
     t0 = time.perf_counter()
-    o_hist, o_hits, o_w = oracle_propagate(
+    out = oracle_propagate(
         steps, medium, geo, oracle_spectra,
         (np.asarray(spectra.bias_x), np.asarray(spectra.bias_y)),
-        cfg, np.random.default_rng(123), photons_per_step=pps)
+        cfg, np.random.default_rng(123), photons_per_step=pps,
+        collect_weights=biased)
+    if biased:
+        o_hist, o_hits, o_w, o_weights = out
+    else:
+        o_hist, o_hits, o_w = out
     print(f"oracle: {o_hits} hits in {time.perf_counter()-t0:.1f}s")
 
     z_tot = (eng_hits - o_hits) / np.sqrt(eng_hits + o_hits)
     print(f"total-hits z = {z_tot:+.2f}")
     fails = int(abs(z_tot) >= 5)
+    if biased:
+        # weighted totals: Var(sum w) = sum(w^2) = w2bar * sum(w); the
+        # oracle's exact w2bar serves both sides (identical weight law)
+        w2bar = float((o_weights ** 2).sum()
+                      / max(o_weights.sum(), 1e-9))
+        We, Wo = eng_hist.sum(), o_hist.sum()
+        z_w = (We - Wo) / np.sqrt(w2bar * (We + Wo))
+        print(f"total-weight z = {z_w:+.2f}  (w2bar {w2bar:.2f})")
+        fails += int(abs(z_w) >= 5)
 
     # coarse weighted time histogram with effective-count errors
     te = eng_hist.sum(axis=0).reshape(10, -1).sum(axis=1)
     to = o_hist.sum(axis=0).reshape(10, -1).sum(axis=1)
     wbar = max(eng_hist.sum() / max(eng_hits, 1), 1e-9)
+    if biased:
+        # heavy-tailed weights: the effective per-entry variance is w2bar
+        # (= sum w^2 / sum w), not the mean weight
+        wbar = max(w2bar, 1e-9)
     print("time bins (engine / oracle / z):")
     for k in range(10):
         if te[k] + to[k] < 25 * wbar:
