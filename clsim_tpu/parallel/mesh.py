@@ -115,7 +115,7 @@ def make_sharded_propagate(mesh: Mesh, cfg: PropagationConfig,
     if iters_per_call % flush_every:
         raise ValueError("iters_per_call must be a multiple of flush_every")
 
-    cell_tab_np, plan = FK._cell_plan(geo, cfg)
+    cell_tab_np, plan = FK.plan_collision(geo, cfg)
     spec = FK._build_spec(medium, geo, spectra, cfg, cfg.n_slots,
                           iters_per_call, flush_every, queue_rows,
                           block_lanes, splits, with_uniforms, interpret,

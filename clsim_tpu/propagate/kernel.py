@@ -422,12 +422,23 @@ def _make_kernel(spec: FusedSpec):
         # sidx]; uniform-z affine mode needs only the first 4 blocks (its
         # z-pass test and z-grid come from scalar params), non-uniform
         # affine 9, the general path all 10 (fetch cost scales with rows)
-        if spec.affine_doms:
-            n_cell_feat = 4 if spec.uniform_z else 9
+        if spec.sub_plans:
+            # per-subdetector table blocks: [sx sy maxr2 off] per group
+            plan_splits = tuple(
+                _split_bf16(cell_ref[p.row_off:p.row_off + 4 * p.K_cand,
+                                     0:p.n_cells], spec.splits)
+                for p in spec.sub_plans)
+            plan_iotas = tuple(
+                jax.lax.broadcasted_iota(jnp.int32, (p.n_cells, BLK), 0)
+                for p in spec.sub_plans)
+            cell_splits = None
         else:
-            n_cell_feat = 10
-        cell_splits = _split_bf16(
-            cell_ref[0:n_cell_feat * spec.K_cand, :], spec.splits)
+            if spec.affine_doms:
+                n_cell_feat = 4 if spec.uniform_z else 9
+            else:
+                n_cell_feat = 10
+            cell_splits = _split_bf16(
+                cell_ref[0:n_cell_feat * spec.K_cand, :], spec.splits)
         if spec.medium_tables:
             wtab_splits = _split_bf16(wtab_ref[:], spec.splits)  # (16, nwp)
             iota_wtab = jax.lax.broadcasted_iota(
@@ -442,8 +453,9 @@ def _make_kernel(spec: FusedSpec):
             iota_M = jax.lax.broadcasted_iota(jnp.int32, (Mpad, BLK), 0) \
                 .astype(jnp.float32)
         iota_C = jax.lax.broadcasted_iota(jnp.int32, (C, BLK), 0)
-        iota_cells = jax.lax.broadcasted_iota(
-            jnp.int32, (cell_ref.shape[1], BLK), 0)
+        iota_cells = (None if spec.sub_plans else
+                      jax.lax.broadcasted_iota(
+                          jnp.int32, (cell_ref.shape[1], BLK), 0))
         iota_L = jax.lax.broadcasted_iota(jnp.int32, (spec.Lpad, BLK), 0)
         iota_bias = jax.lax.broadcasted_iota(
             jnp.int32, (bias_ref.shape[1], BLK), 0)
@@ -853,66 +865,68 @@ def _make_kernel(spec: FusedSpec):
             pancake = pf(PF_PANCAKE)
             max_seg = pf(PF_MAX_SEG)
 
-            cxi = jnp.clip(jnp.floor((x - spec.cell_x0) * spec.inv_cell),
-                           0.0, float(spec.cell_nx - 1))
-            cyi = jnp.clip(jnp.floor((y - spec.cell_y0) * spec.inv_cell),
-                           0.0, float(spec.cell_ny - 1))
-            cell = cxi * float(spec.cell_ny) + cyi
-
             fx_, fy_, fz_ = flat(x), flat(y), flat(z)
             fdx, fdy, fdz = flat(dx), flat(dy), flat(dz)
             fact = flat((active & has_xy).astype(jnp.float32)) > 0.5
             finv = flat(inv_dir_xy2)
 
-            ohc = (iota_cells == flat(cell).astype(jnp.int32)) \
-                .astype(jnp.bfloat16)                        # (NCp, BLK)
-            cf = _fetch(cell_splits, ohc, spec.splits)       # (n_feat*C, BLK)
-            sxc = cf[0 * C:1 * C]
-            syc = cf[1 * C:2 * C]
-            maxr2c = cf[2 * C:3 * C]
-            offc = cf[3 * C:4 * C]
-            if not (spec.affine_doms and spec.uniform_z):
-                minzc = cf[4 * C:5 * C]
-                maxzc = cf[5 * C:6 * C]
-                z0c = cf[6 * C:7 * C]
-                dzc = cf[7 * C:8 * C]
-                ndc = cf[8 * C:9 * C]
-            if not spec.affine_doms:
-                sic = cf[9 * C:10 * C]
+            if not spec.sub_plans:
+                cxi = jnp.clip(jnp.floor((x - spec.cell_x0) * spec.inv_cell),
+                               0.0, float(spec.cell_nx - 1))
+                cyi = jnp.clip(jnp.floor((y - spec.cell_y0) * spec.inv_cell),
+                               0.0, float(spec.cell_ny - 1))
+                cell = cxi * float(spec.cell_ny) + cyi
 
-            rx = sxc - fx_                                   # (C, BLK)
-            ry = syc - fy_
-            bd2 = rx * fdx + ry * fdy
-            A2c = rx * rx + ry * ry
-            if spec.affine_doms and spec.uniform_z:
-                # every string shares the z-extent: one (1, BLK) test from
-                # the scalar z-grid broadcasts over candidates
-                uz_z1 = pf(PF_UZ_Z0) + pf(PF_UZ_DZ) * (pf(PF_UZ_ND) - 1.0)
-                uz_lo = jnp.minimum(pf(PF_UZ_Z0), uz_z1)
-                uz_hi = jnp.maximum(pf(PF_UZ_Z0), uz_z1)
-                pass_z = ~((fdz > 0) & (fz_ > uz_hi + Rcol)) \
-                    & ~((fdz < 0) & (fz_ < uz_lo - Rcol))
-            else:
-                pass_z = ~((fdz > 0) & (fz_ > maxzc + Rcol)) \
-                    & ~((fdz < 0) & (fz_ < minzc - Rcol))
-            # rank with the STATIC segment cap instead of this segment's
-            # d_prop: candidates beyond d_prop are rejected by the sphere
-            # test's distance gate anyway, and the constant cap removes the
-            # walk -> cull serial dependency (the whole cull now overlaps
-            # the tilt/walk MXU chain).  Same approximation class: top-K
-            # closest culled strings (the reference tests every culled
-            # string, sparse_collision_kernel.c.cl:462-587).
-            t2d = jnp.clip(bd2 * finv, 0.0, max_seg)
-            cx = rx - fdx * t2d
-            cy = ry - fdy * t2d
-            dist2 = cx * cx + cy * cy
-            pass_r = dist2 <= maxr2c
-            cand = pass_r & pass_z & fact
-            ranked = jnp.where(cand, dist2, BIG)
-            if "cullfetchonly" in ablate:
-                # probe (combine with nosphere): cell fetch stays live, the
-                # per-candidate cull math above becomes dead code
-                ranked = jnp.where(cf[0:C] > BIG, 0.0, BIG)
+                ohc = (iota_cells == flat(cell).astype(jnp.int32)) \
+                    .astype(jnp.bfloat16)                    # (NCp, BLK)
+                cf = _fetch(cell_splits, ohc, spec.splits)   # (n_feat*C, BLK)
+                sxc = cf[0 * C:1 * C]
+                syc = cf[1 * C:2 * C]
+                maxr2c = cf[2 * C:3 * C]
+                offc = cf[3 * C:4 * C]
+                if not (spec.affine_doms and spec.uniform_z):
+                    minzc = cf[4 * C:5 * C]
+                    maxzc = cf[5 * C:6 * C]
+                    z0c = cf[6 * C:7 * C]
+                    dzc = cf[7 * C:8 * C]
+                    ndc = cf[8 * C:9 * C]
+                if not spec.affine_doms:
+                    sic = cf[9 * C:10 * C]
+
+                rx = sxc - fx_                               # (C, BLK)
+                ry = syc - fy_
+                bd2 = rx * fdx + ry * fdy
+                A2c = rx * rx + ry * ry
+                if spec.affine_doms and spec.uniform_z:
+                    # every string shares the z-extent: one (1, BLK) test
+                    # from the scalar z-grid broadcasts over candidates
+                    uz_z1 = pf(PF_UZ_Z0) + pf(PF_UZ_DZ) * (pf(PF_UZ_ND)
+                                                           - 1.0)
+                    uz_lo = jnp.minimum(pf(PF_UZ_Z0), uz_z1)
+                    uz_hi = jnp.maximum(pf(PF_UZ_Z0), uz_z1)
+                    pass_z = ~((fdz > 0) & (fz_ > uz_hi + Rcol)) \
+                        & ~((fdz < 0) & (fz_ < uz_lo - Rcol))
+                else:
+                    pass_z = ~((fdz > 0) & (fz_ > maxzc + Rcol)) \
+                        & ~((fdz < 0) & (fz_ < minzc - Rcol))
+                # rank with the STATIC segment cap instead of this segment's
+                # d_prop: candidates beyond d_prop are rejected by the
+                # sphere test's distance gate anyway, and the constant cap
+                # removes the walk -> cull serial dependency.  Same
+                # approximation class: top-K closest culled strings (the
+                # reference tests every culled string,
+                # sparse_collision_kernel.c.cl:462-587).
+                t2d = jnp.clip(bd2 * finv, 0.0, max_seg)
+                cx = rx - fdx * t2d
+                cy = ry - fdy * t2d
+                dist2 = cx * cx + cy * cy
+                pass_r = dist2 <= maxr2c
+                cand = pass_r & pass_z & fact
+                ranked = jnp.where(cand, dist2, BIG)
+                if "cullfetchonly" in ablate:
+                    # probe (with nosphere): cell fetch stays live, the
+                    # per-candidate cull math above becomes dead code
+                    ranked = jnp.where(cf[0:C] > BIG, 0.0, BIG)
 
             # ---------- tilt + layer walk (kernel:598-696) -----------------
             shift_z = (jnp.zeros_like(z) if "notilt" in ablate
@@ -1061,7 +1075,117 @@ def _make_kernel(spec: FusedSpec):
                 """Winner-candidate feature: sum over <= K_cand rows."""
                 return tile(jnp.sum(mf * rows, axis=0, keepdims=True))
 
-            if spec.affine_doms:
+            if spec.sub_plans:
+                # ---- per-subdetector collision (the reference's DO_CHECK
+                # sequence over per-stringset grids, sparse_collision_kernel
+                # .c.cl:305-460): each string group runs its own cell cull,
+                # top-rounds peel and z-window candidate test with ITS OWN
+                # dz granularity and a statically-proven round count; the
+                # global minimum entry distance merges the groups.  A dense
+                # infill no longer sets the candidate counts detector-wide.
+                margin = Rcol + 1.0
+                inv_pk = 1.0 / pancake
+                best_all = d_prop
+                dom_all = jnp.zeros_like(x)
+                ctr_x = jnp.zeros_like(x)
+                ctr_y = jnp.zeros_like(x)
+                ctr_z = jnp.zeros_like(x)
+                stackr = lambda it: jnp.concatenate(list(it), axis=0)
+                for pi, sp in enumerate(spec.sub_plans):
+                    C_ = sp.K_cand
+                    cxi = jnp.clip(jnp.floor((x - sp.x0) * sp.inv_cell),
+                                   0.0, float(sp.nx - 1))
+                    cyi = jnp.clip(jnp.floor((y - sp.y0) * sp.inv_cell),
+                                   0.0, float(sp.ny - 1))
+                    cellv = cxi * float(sp.ny) + cyi
+                    ohc = (plan_iotas[pi] == flat(cellv).astype(jnp.int32)) \
+                        .astype(jnp.bfloat16)
+                    cf_p = _fetch(plan_splits[pi], ohc, spec.splits)
+                    sxc_p = cf_p[0:C_]
+                    syc_p = cf_p[C_:2 * C_]
+                    maxr2_p = cf_p[2 * C_:3 * C_]
+                    off_p = cf_p[3 * C_:4 * C_]
+                    rxp = sxc_p - fx_
+                    ryp = syc_p - fy_
+                    bd2_p = rxp * fdx + ryp * fdy
+                    A2_p = rxp * rxp + ryp * ryp
+                    pz = ~((fdz > 0) & (fz_ > sp.maxz + Rcol)) \
+                        & ~((fdz < 0) & (fz_ < sp.minz - Rcol))
+                    t2d = jnp.clip(bd2_p * finv, 0.0, max_seg)
+                    cxp_ = rxp - fdx * t2d
+                    cyp_ = ryp - fdy * t2d
+                    d2p = cxp_ * cxp_ + cyp_ * cyp_
+                    rankedp = jnp.where((d2p <= maxr2_p) & pz & fact,
+                                        d2p, BIG)
+                    iota_Cp = jax.lax.broadcasted_iota(jnp.int32, (C_, BLK),
+                                                       0)
+                    peel = []
+                    for _k in range(sp.rounds):
+                        mi, sidx = _min_and_idx(rankedp, iota_Cp)
+                        mask = (iota_Cp == sidx)
+                        rankedp = jnp.where(mask, BIG, rankedp)
+                        peel.append((mask.astype(jnp.float32), mi))
+                    NR, NC = sp.rounds, sp.n_dom_cand
+                    repr_ = (lambda v: jnp.concatenate([v] * NR, axis=0)) \
+                        if NR > 1 else (lambda v: v)
+
+                    def repc(v, NC=NC):
+                        return jnp.concatenate([v] * NC, axis=0)
+
+                    A2_s = stackr(pick(A2_p, mf) for mf, mi in peel)
+                    Bd_s = stackr(pick(bd2_p, mf) for mf, mi in peel)
+                    foff_s = stackr(pick(off_p, mf) for mf, mi in peel)
+                    sok_s = stackr(tile(jnp.where(mi < BIG, 1.0, 0.0))
+                                   for mf, mi in peel) > 0.5
+                    z_s = repr_(z)
+                    dz_s = repr_(dz)
+                    dp_s = repr_(d_prop)
+                    inv_dzf = 1.0 / sp.uz_dz        # static python float
+                    m1 = (z_s - sp.uz_z0) * inv_dzf
+                    m2 = m1 + dz_s * (dp_s * inv_dzf)
+                    mlo = -jnp.floor(-(jnp.minimum(m1, m2)
+                                       - margin * abs(inv_dzf)))
+                    m_sc = jnp.clip(
+                        jnp.concatenate([mlo + float(c) for c in range(NC)],
+                                        axis=0), 0.0, sp.uz_nd - 1.0)
+                    z_c = repc(z_s)
+                    dz_c = repc(dz_s)
+                    dp_c = repc(dp_s)
+                    oz = sp.uz_z0 + sp.uz_dz * m_sc - z_c
+                    urdot = repc(Bd_s) + oz * dz_c
+                    dr2 = repc(A2_s) + oz * oz
+                    discr = urdot * urdot - dr2 + R2
+                    sq = jnp.sqrt(jnp.maximum(discr, 0.0)) * inv_pk
+                    smin1 = urdot - sq
+                    good = repc(sok_s) & (discr >= 0.0) \
+                        & (smin1 >= 0.0) & (smin1 < dp_c)
+                    sm3 = jnp.where(good, smin1, BIG) \
+                        .reshape(NR * NC, RB, LANES)
+                    dom3 = (repc(foff_s) + m_sc).reshape(NR * NC, RB, LANES)
+                    best_p = jnp.min(sm3, axis=0)
+                    onwin = sm3 == best_p[None]
+                    dom_p = jnp.max(jnp.where(onwin, dom3, -1.0), axis=0)
+                    m_new = best_p < best_all
+                    dom_all = jnp.where(m_new, dom_p, dom_all)
+                    if spec.records:
+                        sxs = repc(stackr(pick(sxc_p, mf)
+                                          for mf, mi in peel)) \
+                            .reshape(NR * NC, RB, LANES)
+                        sys_ = repc(stackr(pick(syc_p, mf)
+                                           for mf, mi in peel)) \
+                            .reshape(NR * NC, RB, LANES)
+                        zd3 = (sp.uz_z0 + sp.uz_dz * m_sc) \
+                            .reshape(NR * NC, RB, LANES)
+                        pickw = lambda v3: jnp.max(
+                            jnp.where(onwin, v3, -BIG), axis=0)
+                        ctr_x = jnp.where(m_new, pickw(sxs), ctr_x)
+                        ctr_y = jnp.where(m_new, pickw(sys_), ctr_y)
+                        ctr_z = jnp.where(m_new, pickw(zd3), ctr_z)
+                    best_all = jnp.minimum(best_p, best_all)
+                hit = best_all < d_prop
+                hit_dist = jnp.where(hit, best_all, d_prop)
+                hit_dom = jnp.where(hit, dom_all, 0.0)
+            elif spec.affine_doms:
                 # ---- analytic candidate-DOM test (z-layer windowing): every
                 # DOM sits exactly at z0 + m*dz on a vertical string, so the
                 # <= n_dom_cand indices overlapping the segment's z-span are
@@ -1715,14 +1839,28 @@ def _max_simultaneous(sx, sy, maxr, seg) -> int:
     return int(possible.sum(axis=1).max())
 
 
+def plan_collision(geo: DetectorGeometry, cfg: PropagationConfig,
+                   ablate: str = ""):
+    """Unified host-side collision planning: per-subdetector SubPlans when
+    the geometry allows, else the legacy single global cell plan.  Returns
+    (cell_tab_np, plan_dict) ready for _build_spec(plan=...)."""
+    sub = _subdet_plans(geo, cfg, ablate)
+    if sub is not None:
+        cell_tab, plans = sub
+        return cell_tab, dict(sub_plans=plans)
+    return _cell_plan(geo, cfg)
+
+
 def _subdet_plans(geo: DetectorGeometry, cfg: PropagationConfig,
                   ablate: str = ""):
     """Build per-subdetector SubPlans when the geometry allows: affine
     DOM placement and few (z0, dz, nd) groups, each uniform within itself.
     Returns (cell_tab, plans) or None (caller falls back to the legacy
     single global plan)."""
-    if "noaffine" in ablate or "nosubdet" in ablate:
-        return None
+    for flag in ("noaffine", "nosubdet", "nocull", "nosphere",
+                 "cullfetchonly"):
+        if flag in ablate:
+            return None
     affine_ok, _ = _affine_collision_plan(geo, cfg, ablate)
     if not affine_ok:
         return None
@@ -2128,7 +2266,10 @@ def _make_call(spec: FusedSpec):
               if spec.scat_table else (8, 4)),            # sacu
         fixed((8, pad8(spec.n_scat))
               if spec.scat_table else (8, 8)),            # sco
-        fixed((10 * spec.K_cand, spec.n_cull_cells)),     # cell
+        fixed((sum(4 * p.K_cand for p in spec.sub_plans),
+               max(p.n_cells for p in spec.sub_plans))
+              if spec.sub_plans
+              else (10 * spec.K_cand, spec.n_cull_cells)),  # cell
         fixed((8, spec.Spad) if spec.affine_doms
               else (4 * spec.Mpad + 8, spec.Spad)),       # rel
         perblk(NST * RB),                                 # steps
@@ -2499,7 +2640,7 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
                          "max_calls=1: each call would replay the same "
                          "uniform stream (pass allow_uniform_replay=True "
                          "for conservation tests where that is acceptable)")
-    cell_tab, plan = _cell_plan(geo, cfg)
+    cell_tab, plan = plan_collision(geo, cfg, ablate)
     spec = _build_spec(medium, geo, spectra, cfg, n, iters_per_call,
                        flush_every, queue_rows, block_lanes, splits,
                        uniforms is not None, interpret, ablate,

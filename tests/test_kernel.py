@@ -365,11 +365,20 @@ def test_kernel_nonuniform_z_geometry():
     spec = FK._build_spec(medium, geo, spectra, cfg, N, T, 1, 32, 1024,
                           2, True, True)
     assert spec.affine_doms and not spec.uniform_z
+    # at 60 m string spacing with a 120 m segment cap, one segment can
+    # cull two strings of the SAME group, so the parity rule (sum of
+    # per-group rounds within the engine's strings_per_photon budget)
+    # rightly REJECTS the subdetector split here -- the legacy global plan
+    # serves this geometry (see test_kernel_subdet_split_matches_engine
+    # for the accepted-split case)
+    assert FK._subdet_plans(geo, cfg) is None
 
     state, acc = _run_engine_with_uniforms(steps, medium, geo, spectra, cfg,
                                            uniforms)
     res, totals = _run_kernel(steps, medium, geo, spectra, cfg, uniforms)
     _compare(acc, res, totals, geo, cfg)
+
+
 
 
 def test_kernel_uniform_z_spec():
@@ -607,3 +616,62 @@ def test_fused_save_all_matches_engine():
     # prescale: roughly half the absorbed photons recorded
     n_gen = float(totals[FK.CNT_GEN])
     assert 0.25 * n_gen < n_rec < 0.75 * n_gen
+
+
+def test_kernel_subdet_split_matches_engine():
+    """Per-subdetector collision plans (round-3 review item 4): a main
+    array of well-separated strings plus a dense DeepCore-style infill
+    string splits into two SubPlans -- each with its own cell grid, its own
+    z-candidate count from its own dz, and a statically-proven round count
+    -- and the fused result must match both the engine and the legacy
+    single-global-plan kernel on a shared uniform stream."""
+    from clsim_tpu.geometry import build_geometry
+
+    medium, geo0, spectra, cfg, steps, uniforms = _workload(seed=23)
+    # 40 m segment cap: keeps the dense string's z-candidate window within
+    # the kernel's 16-candidate bound (the bench ic86 workload uses 35 m)
+    cfg = dataclasses.replace(cfg, max_segment_m=40.0)
+    # 7 main strings on a WIDE hex (150 m > segment cap + reaches, so at
+    # most one main string culls per segment) + 1 dense infill string
+    import math
+    pos = [(0.0, 0.0)] + [(150.0 * math.cos(a), 150.0 * math.sin(a))
+                          for a in np.linspace(0, 2 * np.pi, 7)[:-1]]
+    sids, oids, xs, ys, zs = [], [], [], [], []
+    for si, (px, py) in enumerate(pos):
+        for d in range(12):
+            sids.append(si)
+            oids.append(d)
+            xs.append(px)
+            ys.append(py)
+            zs.append(80.0 - d * 15.0)
+    for d in range(30):   # infill: dense 7 m ladder at a different grid
+        sids.append(len(pos))
+        oids.append(d)
+        xs.append(20.0)
+        ys.append(15.0)
+        zs.append(40.0 - d * 7.0)
+    geo = build_geometry(sids, oids, xs, ys, zs, oversize=8.0)
+
+    sub = FK._subdet_plans(geo, cfg)
+    assert sub is not None and len(sub[1]) == 2
+    assert {p.uz_dz for p in sub[1]} == {-15.0, -7.0}
+    by_dz = {p.uz_dz: p for p in sub[1]}
+    assert by_dz[-7.0].n_dom_cand > by_dz[-15.0].n_dom_cand
+    assert all(p.rounds == 1 for p in sub[1])
+
+    state, acc = _run_engine_with_uniforms(steps, medium, geo, spectra, cfg,
+                                           uniforms)
+    res, totals = _run_kernel(steps, medium, geo, spectra, cfg, uniforms)
+    _compare(acc, res, totals, geo, cfg)
+
+    # legacy single-global-plan path on the same stream must agree exactly
+    # (same accept set; fetch rounding only)
+    res_l, totals_l = FK.propagate_fused(
+        steps, medium, geo, spectra, seed=0, cfg=cfg,
+        iters_per_call=T, flush_every=1, queue_rows=32,
+        block_lanes=1024, max_calls=1, uniforms=uniforms, interpret=True,
+        ablate="nosubdet")
+    _compare(acc, res_l, totals_l, geo, cfg)
+    l1 = np.abs(np.asarray(res.hist, np.float64)
+                - np.asarray(res_l.hist, np.float64)).sum()
+    assert l1 <= 2e-3 * float(np.asarray(res.hist).sum()) + 1e-6
