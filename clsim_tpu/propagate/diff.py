@@ -97,12 +97,55 @@ def _make_expected_hist(cfg: PropagationConfig, n_iterations: int,
     return expected_hist
 
 
+def _make_expected_hist_threefry(cfg: PropagationConfig, n_iterations: int,
+                                 interpret: bool, geo: DetectorGeometry,
+                                 spectra: SpectrumTable,
+                                 queue_rows: int = 64, flush_rows=None):
+    """Threefry variant: the fused forward draws its uniforms IN-KERNEL
+    with counter-based threefry2x32, bit-exact to the jax.random stream
+    the engine regenerates in the backward -- no materialized (T, 8, N)
+    uniform array on either side (round-3 review item 1b: the expected
+    forward's external-stream HBM traffic and host work retired)."""
+    from .kernel import CNT_DROPPED
+
+    @jax.custom_vjp
+    def expected_hist(medium, steps, key):
+        res, totals = propagate_fused(
+            steps, medium, geo, spectra, seed=0, cfg=cfg,
+            iters_per_call=n_iterations, flush_every=1,
+            queue_rows=queue_rows, flush_rows=flush_rows,
+            block_lanes=_pick_blk(steps.x.shape[0]),
+            max_calls=1, threefry_key=key, interpret=interpret)
+        poison = jnp.where(totals[CNT_DROPPED] > 0.0, jnp.nan, 0.0)
+        return res.hist + poison
+
+    def fwd(medium, steps, key):
+        return expected_hist(medium, steps, key), (medium, steps, key)
+
+    def bwd(residuals, g):
+        medium, steps, key = residuals
+
+        def engine_hist(medium):
+            res = propagate(steps, medium, geo, spectra, key, cfg,
+                            max_iterations=n_iterations)
+            return res.hist
+
+        _, vjp = jax.vjp(engine_hist, medium)
+        (d_medium,) = vjp(g)
+        zero_steps = jax.tree.map(jnp.zeros_like, steps)
+        return (d_medium, zero_steps, jnp.zeros_like(key))
+
+    expected_hist.defvjp(fwd, bwd)
+    return expected_hist
+
+
 def propagate_expected_diff(steps: StepBatch, medium: MediumProperties,
                             geo: DetectorGeometry, spectra: SpectrumTable,
                             key, cfg: PropagationConfig,
                             n_iterations: int = 64,
                             interpret: bool = False,
-                            queue_rows: int = 64, flush_rows=None):
+                            queue_rows: int = 64, flush_rows=None,
+                            use_threefry: bool = True):
     """Differentiable per-DOM hit-time histogram (expected estimator).
 
     Forward: fused Pallas kernel.  Backward: engine AD on the identical
@@ -113,6 +156,12 @@ def propagate_expected_diff(steps: StepBatch, medium: MediumProperties,
     if cfg.estimator != "expected":
         raise ValueError("propagate_expected_diff requires "
                          "cfg.estimator='expected'")
+    if use_threefry:
+        # default: in-kernel counter-based draws, no materialized stream
+        fn = _make_expected_hist_threefry(
+            cfg, n_iterations, interpret, geo, spectra,
+            queue_rows=queue_rows, flush_rows=flush_rows)
+        return fn(medium, steps, jnp.asarray(key, jnp.uint32))
     uniforms = make_uniform_stream(key, n_iterations, int(steps.x.shape[0]))
     fn = _make_expected_hist(cfg, n_iterations, interpret, geo, spectra,
                              queue_rows=queue_rows, flush_rows=flush_rows)

@@ -249,6 +249,15 @@ class FusedSpec(NamedTuple):
                                # so fatter trips amortize it
     sub_plans: tuple = ()      # per-subdetector SubPlans (affine uniform-z
                                # groups); () = legacy single global plan
+    threefry: bool = False     # in-kernel counter-based threefry2x32 RNG,
+                               # BIT-EXACT to ops/rng (jax.random.uniform's
+                               # partitionable path: per element j of
+                               # iteration i, xor of threefry2x32(
+                               # fold_in(key, i), (0, j)), bits>>9 mapped to
+                               # [0,1)) -- closes the counter-based RNG
+                               # contract in the fused kernel and retires
+                               # the external uniform stream of the
+                               # expected/fit path
 
 
 def _split_bf16(tab, n):
@@ -322,6 +331,29 @@ def _mask_scan_incl(mask_flat, width):
     return (part.astype(jnp.float32) + offs).reshape(1, width)
 
 
+def _threefry_bits(k0, k1, c1):
+    """threefry2x32 on (rows, 128) u32 counters with c0 = 0, XORed outputs
+    -- jax.random's partitionable layout (element j draws
+    xor(threefry2x32(key, (0, j)))), so in-kernel draws are BIT-EXACT to
+    ops/rng's jax.random.uniform stream.  ~135 u32 VPU ops per call; used
+    on the expected/fit path where it retires the externally-materialized
+    uniform stream (and optionally in detect mode for strict counter-based
+    reproducibility)."""
+    ks2 = jnp.uint32(0x1BD11BDA) ^ k0 ^ k1
+    ks = (k0, k1, ks2)
+    x0 = jnp.zeros_like(c1) + k0
+    x1 = c1 + k1
+    R = ((13, 15, 26, 6), (17, 29, 16, 24))
+    for i in range(5):
+        for r in R[i % 2]:
+            x0 = x0 + x1
+            x1 = ((x1 << jnp.uint32(r))
+                  | (x1 >> jnp.uint32(32 - r))) ^ x0
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+    return x0 ^ x1
+
+
 def _scatter_dir(cosa, sina, dx, dy, dz, u_azimuth):
     """ops/rotations.scatter_direction_by_angle, inlined (kernel-safe)."""
     b = 2.0 * jnp.pi * u_azimuth
@@ -383,13 +415,19 @@ def _make_kernel(spec: FusedSpec):
             refs = refs[:-1]
         else:
             qrec_out = None
+        uni_ref = None
+        tk_ref = None
         if spec.external_uniforms:
             (pf_ref, seed_ref, walk_ref, tilt_ref, acu_ref, co_ref,
              bias_ref, wtab_ref, sacu_ref, sco_ref, cell_ref, rel_ref,
              steps_ref, state_ref, uni_ref,
              state_out, qidx_out, qw_out, cnt_out) = refs
+        elif spec.threefry:
+            (pf_ref, seed_ref, walk_ref, tilt_ref, acu_ref, co_ref,
+             bias_ref, wtab_ref, sacu_ref, sco_ref, cell_ref, rel_ref,
+             steps_ref, state_ref, tk_ref,
+             state_out, qidx_out, qw_out, cnt_out) = refs
         else:
-            uni_ref = None
             (pf_ref, seed_ref, walk_ref, tilt_ref, acu_ref, co_ref,
              bias_ref, wtab_ref, sacu_ref, sco_ref, cell_ref, rel_ref,
              steps_ref, state_ref,
@@ -397,8 +435,18 @@ def _make_kernel(spec: FusedSpec):
 
         pf = lambda i: pf_ref[i]
 
-        if not spec.external_uniforms:
+        if not (spec.external_uniforms or spec.threefry):
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * 1000003)
+        if spec.threefry:
+            # hoisted per-lane counters: element j of iteration i's (8, N)
+            # draw has j = row*N + global_slot; only the (folded) key
+            # changes per iteration
+            N_total = spec.n_blocks * BLK
+            rr_i = jax.lax.broadcasted_iota(jnp.int32, (8 * RB, LANES), 0)
+            ln_i = jax.lax.broadcasted_iota(jnp.int32, (8 * RB, LANES), 1)
+            tf_c1 = pltpu.bitcast(
+                (rr_i // RB) * N_total + pl.program_id(0) * BLK
+                + (rr_i % RB) * LANES + ln_i, jnp.uint32)
 
         qidx_out[:] = jnp.zeros_like(qidx_out[:])
         qw_out[:] = jnp.zeros_like(qw_out[:])
@@ -700,6 +748,22 @@ def _make_kernel(spec: FusedSpec):
             elif spec.external_uniforms:
                 uu = uni_ref[pl.ds(i * 8 * RB, 8 * RB), :]
                 u = [uu[c * RB:(c + 1) * RB, :] for c in range(8)]
+            elif spec.threefry:
+                # bit-exact ops/rng draw: rows r0..r0+nrows of iteration
+                # i's (8, N) element grid, keyed by the folded per-
+                # iteration key (host-precomputed, SMEM)
+                nrows = 8 if spawn_now else 4
+                r0 = 0 if spawn_now else 4
+                # scalar s32 -> u32 convert wraps mod 2^32 (bit-preserving)
+                k0 = tk_ref[2 * i].astype(jnp.uint32)
+                k1 = tk_ref[2 * i + 1].astype(jnp.uint32)
+                bits = _threefry_bits(k0, k1,
+                                      tf_c1[r0 * RB:(r0 + nrows) * RB])
+                fb = pltpu.bitcast((bits >> jnp.uint32(9))
+                                   | jnp.uint32(0x3F800000),
+                                   jnp.float32) - 1.0
+                rows = [fb[c * RB:(c + 1) * RB] for c in range(nrows)]
+                u = rows if spawn_now else [None] * 4 + rows
             elif "norng" in ablate:
                 uu = jnp.full((8 * RB, LANES), 0.5, jnp.float32)
                 u = [uu[c * RB:(c + 1) * RB, :] for c in range(8)]
@@ -1982,7 +2046,7 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
                 n_slots, iters_per_call, flush_every, queue_rows,
                 block_lanes, splits, external_uniforms, interpret,
                 ablate="", spawn_every=1, plan=None,
-                unroll=1, flush_rows=None) -> FusedSpec:
+                unroll=1, flush_rows=None, threefry=False) -> FusedSpec:
     S, M, _ = geo.string_dom_rel.shape
     K = cfg.max_layer_steps
     tilt_enabled = medium.tilt.enabled
@@ -2033,9 +2097,10 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         ablate=ablate,
         affine_doms=affine_ok,
         n_dom_cand=n_cand,
-        spawn_every=1 if external_uniforms else spawn_every,
+        spawn_every=1 if (external_uniforms or threefry) else spawn_every,
         n_string_rounds=cfg.strings_per_photon,
         uniform_z=uniform_z,
+        threefry=threefry,
         records=bool(cfg.save_photons and cfg.estimator == "detect"),
         rec_all=bool(cfg.save_photons and cfg.save_all_photons),
         rec_prescale=float(cfg.save_all_prescale),
@@ -2277,6 +2342,8 @@ def _make_call(spec: FusedSpec):
     ]
     if spec.external_uniforms:
         in_specs.append(perblk(T * 8 * RB))
+    elif spec.threefry:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # (2T,) keys
 
     out_specs = [
         perblk(nsf * RB),                                 # state out
@@ -2362,7 +2429,9 @@ def _run_fused(steps: StepBatch, medium: MediumProperties,
                     + call_no.astype(jnp.int32) * 7919)
         args = [pf, seed_arr, walk, tilt_tab, acu_col, co_tab, bias_tab,
                 wtab, sacu_col, sco, cell_tab, rel, steps_p, state]
-        if spec.external_uniforms:
+        if spec.external_uniforms or spec.threefry:
+            # threefry mode rides the same extra-input slot: `uniforms`
+            # then carries the (2T,) folded per-iteration key table
             args.append(uniforms)
         return call(*args)
 
@@ -2474,7 +2543,7 @@ def _records_call(steps_p, state, medium, geo, spectra, seed_arr,
     pf = _build_pf(medium, geo, spectra, cfg)
     args = [pf, seed_arr, walk, tilt_tab, acu_col, co_tab, bias_tab,
             wtab, sacu_col, sco, cell_tab, rel, steps_p, state]
-    if spec.external_uniforms:
+    if spec.external_uniforms or spec.threefry:
         args.append(uniforms)
     return _make_call(spec)(*args)
 
@@ -2605,6 +2674,7 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
                     repack: bool = True,
                     balance: bool = False,
                     uniforms=None,
+                    threefry_key=None,
                     interpret: bool = False,
                     allow_uniform_replay: bool = False,
                     unroll: int = 1,
@@ -2615,6 +2685,13 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
     `uniforms`: optional (T_total >= iters_per_call*max_calls, 8, n_slots)
     array of externally-supplied uniforms (parity-testing mode; implies the
     kernel consumes them instead of the on-core PRNG).
+
+    `threefry_key`: optional (2,) uint32 jax PRNG key -- the kernel then
+    draws its uniforms IN-KERNEL with counter-based threefry2x32,
+    bit-exact to ops/rng's jax.random stream for that key (the engine run
+    with the same key consumes identical values), with no materialized
+    uniform array.  Requires max_calls=1 (the key table covers one call's
+    iterations).
 
     Returns the same PropagationResult contract as engine.propagate (without
     photon records).  Extra diagnostics (dropped hits, queued counts) are
@@ -2629,10 +2706,11 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
         raise ValueError(f"n_slots {n} must be a multiple of {block_lanes}")
     if iters_per_call % flush_every:
         raise ValueError("iters_per_call must be a multiple of flush_every")
-    if uniforms is None and flush_every % spawn_every:
+    se_eff = (1 if (uniforms is not None or threefry_key is not None)
+              else spawn_every)
+    if flush_every % se_eff:
         raise ValueError("flush_every must be a multiple of spawn_every "
                          "(static spawn scheduling)")
-    se_eff = 1 if uniforms is not None else spawn_every
     if (flush_every // se_eff) % unroll:
         raise ValueError("unroll must divide flush_every // spawn_every")
     if uniforms is not None and max_calls != 1 and not allow_uniform_replay:
@@ -2640,14 +2718,28 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
                          "max_calls=1: each call would replay the same "
                          "uniform stream (pass allow_uniform_replay=True "
                          "for conservation tests where that is acceptable)")
+    if threefry_key is not None:
+        if uniforms is not None:
+            raise ValueError("threefry_key and uniforms are exclusive")
+        if max_calls != 1:
+            raise ValueError("threefry_key requires max_calls=1 (the key "
+                             "table covers one call's iterations)")
     cell_tab, plan = plan_collision(geo, cfg, ablate)
     spec = _build_spec(medium, geo, spectra, cfg, n, iters_per_call,
                        flush_every, queue_rows, block_lanes, splits,
                        uniforms is not None, interpret, ablate,
                        spawn_every=spawn_every, plan=plan, unroll=unroll,
-                       flush_rows=flush_rows)
+                       flush_rows=flush_rows,
+                       threefry=threefry_key is not None)
     if uniforms is not None:
         uniforms = _layout_uniforms(uniforms, spec)
+    elif threefry_key is not None:
+        # per-iteration folded keys, bit-identical to ops/rng.iter_key
+        base = jnp.asarray(threefry_key, jnp.uint32)
+        ks = jax.vmap(lambda t: jax.random.fold_in(base, t))(
+            jnp.arange(iters_per_call))
+        uniforms = jax.lax.bitcast_convert_type(
+            ks.reshape(-1), jnp.int32)          # (2T,) SMEM key table
     # seed stays traced when propagate_auto runs under an outer jit (the
     # production entry path); the records driver loops host-side and needs
     # a concrete one

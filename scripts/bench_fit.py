@@ -87,7 +87,12 @@ def main():
                         max_iterations=T, uniforms=uniforms)
         return jnp.sum(res.hist)
 
-    grad_step = jax.value_and_grad(fwd_fused)
+    # jit the whole step (as a production fit loop would): without it the
+    # per-call relay/dispatch latency (~35 ms through the axon tunnel)
+    # swamps the compute being compared
+    fwd_fused = jax.jit(fwd_fused)
+    fwd_engine = jax.jit(fwd_engine)
+    grad_step = jax.jit(jax.value_and_grad(fwd_fused))
 
     def timed(name, fn, reps=3):
         out = fn(jnp.float32(0.04))
@@ -102,8 +107,8 @@ def main():
         return dt
 
     t_ff = timed("fwd_fused", fwd_fused)
-    t_fe = timed("fwd_engine", fwd_engine, reps=1)
-    t_g = timed("grad_step", grad_step, reps=1)
+    t_fe = timed("fwd_engine", fwd_engine, reps=3)
+    t_g = timed("grad_step", grad_step, reps=3)
     print(f"fit-step overhead vs fused fwd: {t_g / t_ff:.1f}x "
           f"(engine fwd alone is {t_fe / t_ff:.1f}x)")
 

@@ -675,3 +675,29 @@ def test_kernel_subdet_split_matches_engine():
     l1 = np.abs(np.asarray(res.hist, np.float64)
                 - np.asarray(res_l.hist, np.float64)).sum()
     assert l1 <= 2e-3 * float(np.asarray(res.hist).sum()) + 1e-6
+
+
+def test_kernel_threefry_bit_exact():
+    """In-kernel counter-based threefry2x32 must be BIT-IDENTICAL to the
+    externally-materialized jax.random stream -- same histograms as both
+    the external-uniform fused run and the engine run on the same key
+    (round-3 review item 1b / Weak #5: the counter-based RNG contract
+    inside the fused kernel)."""
+    from clsim_tpu.propagate.diff import make_uniform_stream
+
+    medium, geo, spectra, cfg, steps, _ = _workload()
+    key = jnp.asarray([11, 222], jnp.uint32)
+    uniforms = make_uniform_stream(key, T, N)
+    _, acc_e = _run_engine_with_uniforms(steps, medium, geo, spectra, cfg,
+                                         np.asarray(uniforms))
+    res_u, _ = FK.propagate_fused(
+        steps, medium, geo, spectra, seed=0, cfg=cfg, iters_per_call=T,
+        flush_every=1, queue_rows=32, block_lanes=1024, max_calls=1,
+        uniforms=uniforms, interpret=True)
+    res_t, tot_t = FK.propagate_fused(
+        steps, medium, geo, spectra, seed=0, cfg=cfg, iters_per_call=T,
+        flush_every=1, queue_rows=32, block_lanes=1024, max_calls=1,
+        threefry_key=key, interpret=True)
+    assert np.array_equal(np.asarray(res_u.hist), np.asarray(res_t.hist))
+    assert float(tot_t[FK.CNT_GEN]) == float(acc_e.n_generated)
+    assert float(tot_t[FK.CNT_HITS]) == float(acc_e.n_hits)
