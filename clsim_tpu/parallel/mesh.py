@@ -191,14 +191,17 @@ class IceFit:
                  geo: DetectorGeometry, spectra: SpectrumTable,
                  learning_rate: float = 1e-3, axis: str = PHOTON_AXIS,
                  max_iterations: int = 64, forward: str = "engine",
-                 interpret: bool = False, score_function: bool = False):
+                 interpret: bool = False, score_function: bool = False,
+                 bwd_fraction: float = 1.0):
         """forward='fused' routes the loss's forward pass through the fused
         Pallas expected-estimator kernel (propagate/diff.py) -- the engine
         serves only the VJP.  `interpret` runs the kernel in interpreter
         mode (CPU tests / dryruns).  `score_function=True` adds the
         likelihood-ratio term so scattering-parameter gradients are
         unbiased (types.PropagationConfig.score_function; costs sampling
-        variance, use larger photon batches per step)."""
+        variance, use larger photon batches per step).  `bwd_fraction < 1`
+        runs the engine-AD backward on a slot subsample (unbiased minibatch
+        gradient, diff.py) -- fit-step cost approaches one fused forward."""
         self.mesh = mesh
         self.axis = axis
         self.max_iterations = max_iterations
@@ -212,6 +215,7 @@ class IceFit:
         self.lr = learning_rate
         self.forward = forward
         self.interpret = interpret
+        self.bwd_fraction = bwd_fraction
         self._step = self._build()
 
     def _build(self):
@@ -223,6 +227,7 @@ class IceFit:
         max_iter = self.max_iterations
         forward = self.forward
         interpret = self.interpret
+        bwd_fraction = self.bwd_fraction
 
         def loss_fn(fit_params, medium, steps, key, target_hist):
             medium = medium._replace(**fit_params)
@@ -231,7 +236,8 @@ class IceFit:
                 from ..propagate.diff import propagate_expected_diff
                 hist = propagate_expected_diff(
                     steps, medium, geo, spectra, key, cfg,
-                    n_iterations=max_iter, interpret=interpret)
+                    n_iterations=max_iter, interpret=interpret,
+                    bwd_fraction=bwd_fraction)
             else:
                 res = propagate(steps, medium, geo, spectra, key, cfg,
                                 max_iterations=max_iter)

@@ -100,7 +100,8 @@ def _make_expected_hist(cfg: PropagationConfig, n_iterations: int,
 def _make_expected_hist_threefry(cfg: PropagationConfig, n_iterations: int,
                                  interpret: bool, geo: DetectorGeometry,
                                  spectra: SpectrumTable,
-                                 queue_rows: int = 64, flush_rows=None):
+                                 queue_rows: int = 64, flush_rows=None,
+                                 bwd_fraction: float = 1.0):
     """Threefry variant: the fused forward draws its uniforms IN-KERNEL
     with counter-based threefry2x32, bit-exact to the jax.random stream
     the engine regenerates in the backward -- no materialized (T, 8, N)
@@ -124,14 +125,28 @@ def _make_expected_hist_threefry(cfg: PropagationConfig, n_iterations: int,
 
     def bwd(residuals, g):
         medium, steps, key = residuals
+        n = int(steps.x.shape[0])
+        m = n
+        scale = 1.0
+        if bwd_fraction < 1.0:
+            # stochastic backward (documented variance tradeoff): the
+            # engine-AD pass runs on a slot SUBSAMPLE and the gradient is
+            # scaled back -- an unbiased minibatch estimate of the
+            # population gradient (photons are i.i.d. across slots), at
+            # bwd_fraction of the backward's cost and ~1/bwd_fraction the
+            # gradient variance.  The primal (the fused forward) is
+            # untouched.
+            m = max(128, (int(n * bwd_fraction) // 128) * 128)
+            scale = n / m
+        steps_b = jax.tree.map(lambda a: a[:m], steps)
 
         def engine_hist(medium):
-            res = propagate(steps, medium, geo, spectra, key, cfg,
+            res = propagate(steps_b, medium, geo, spectra, key, cfg,
                             max_iterations=n_iterations)
             return res.hist
 
         _, vjp = jax.vjp(engine_hist, medium)
-        (d_medium,) = vjp(g)
+        (d_medium,) = vjp(jax.tree.map(lambda x: x * scale, g))
         zero_steps = jax.tree.map(jnp.zeros_like, steps)
         return (d_medium, zero_steps, jnp.zeros_like(key))
 
@@ -145,7 +160,8 @@ def propagate_expected_diff(steps: StepBatch, medium: MediumProperties,
                             n_iterations: int = 64,
                             interpret: bool = False,
                             queue_rows: int = 64, flush_rows=None,
-                            use_threefry: bool = True):
+                            use_threefry: bool = True,
+                            bwd_fraction: float = 1.0):
     """Differentiable per-DOM hit-time histogram (expected estimator).
 
     Forward: fused Pallas kernel.  Backward: engine AD on the identical
@@ -160,7 +176,8 @@ def propagate_expected_diff(steps: StepBatch, medium: MediumProperties,
         # default: in-kernel counter-based draws, no materialized stream
         fn = _make_expected_hist_threefry(
             cfg, n_iterations, interpret, geo, spectra,
-            queue_rows=queue_rows, flush_rows=flush_rows)
+            queue_rows=queue_rows, flush_rows=flush_rows,
+            bwd_fraction=bwd_fraction)
         return fn(medium, steps, jnp.asarray(key, jnp.uint32))
     uniforms = make_uniform_stream(key, n_iterations, int(steps.x.shape[0]))
     fn = _make_expected_hist(cfg, n_iterations, interpret, geo, spectra,

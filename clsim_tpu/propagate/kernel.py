@@ -882,7 +882,10 @@ def _make_kernel(spec: FusedSpec):
                 freshf = fresh.astype(jnp.float32)
                 in_flight = jnp.maximum(in_flight, freshf)
                 photons_left = photons_left - freshf
-                n_gen = n_gen + jnp.sum(freshf)
+                # per-lane accumulator: scalar tree-reductions
+                # per iteration are ~10x an elementwise add;
+                # reduced once in the epilogue
+                n_gen = n_gen + freshf
                 return (photons_left, in_flight, x, y, z, t, dx, dy, dz,
                         w0, inv_gv, abs_left, gsv, pav, qav, rav, n_gen)
 
@@ -1481,8 +1484,8 @@ def _make_kernel(spec: FusedSpec):
             flat_idx = hit_dom * float(NBINS) + tbin
             if "nohist" in ablate:     # static: bin-index math dead
                 flat_idx = jnp.zeros_like(x)
-            n_hits = n_hits + jnp.sum(hit_act.astype(jnp.float32))
-            w_sum = w_sum + jnp.sum(w_hit)
+            n_hits = n_hits + hit_act.astype(jnp.float32)
+            w_sum = w_sum + w_hit
             if spec.expected:
                 # deposits flush immediately: a pass-through photon can hit
                 # again next iteration, so no pending registers
@@ -1561,7 +1564,7 @@ def _make_kernel(spec: FusedSpec):
                 y = jnp.where(hit_act, rec_y, y)
                 z = jnp.where(hit_act, rec_z, z)
             # pre-retire activity: a photon's final segment counts as work
-            n_work = n_work + jnp.sum(actf)
+            n_work = n_work + actf
 
             # ---------- scatter survivors ----------
             do_scatter = scattered & active
@@ -1737,8 +1740,9 @@ def _make_kernel(spec: FusedSpec):
 
         st = [ld(state_ref, f) for f in range(nsf)]
         zero = jnp.zeros((), jnp.float32)
-        carry0 = tuple(st) + (jnp.zeros((), jnp.int32), zero, zero, zero,
-                              zero, zero)
+        zl = jnp.zeros((RB, LANES), jnp.float32)   # per-lane accumulators
+        carry0 = tuple(st) + (jnp.zeros((), jnp.int32), zl, zl, zl,
+                              zero, zl)
         final = jax.lax.fori_loop(0, T // spec.flush_every, outer_body,
                                   carry0)
 
@@ -1746,6 +1750,10 @@ def _make_kernel(spec: FusedSpec):
             state_out[pl.ds(f * RB, RB), :] = final[f]
 
         head, n_gen, n_hits, w_sum, n_dropped, n_work = final[nsf:]
+        n_gen = jnp.sum(n_gen)
+        n_hits = jnp.sum(n_hits)
+        w_sum = jnp.sum(w_sum)
+        n_work = jnp.sum(n_work)
         alive = jnp.sum(((final[1] > 0.5) | (final[0] > 0.5))
                         .astype(jnp.float32))
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)

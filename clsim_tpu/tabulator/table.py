@@ -141,28 +141,30 @@ def _impact_direction(dx, dy, dz, u_sin, u_az):
     return scatter_direction_by_angle(cosa, sina, dx, dy, dz, u_az)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "axes", "step_length"))
 def _tabulate_batch(steps: StepBatch, medium: MediumProperties,
                     spectra: SpectrumTable, source: ReferenceSource,
                     angular_coeffs, key, cfg: PropagationConfig,
                     axes: SphericalAxes, step_length: float,
-                    min_inv_groupvel, tan_theta_c):
+                    min_inv_groupvel, tan_theta_c, chunk_iters: int = 16):
     """Propagate one slot-assigned batch in table mode and return the raw
-    (unnormalized) flat bin contents."""
+    (unnormalized) flat bin contents.
+
+    Deposit strategy: scattered adds into the ~1M-bin table serialize
+    per ENTRY on TPU (measured ~300 photons/s with device-side .at[].add,
+    whether issued per substep or batched), so the device runs the
+    propagation in jitted chunks that OUTPUT the comb's (bin, weight)
+    entries, and the host accumulates them with np.add.at -- the same
+    division of labor as the fused kernel's record queue.  Measured ~3
+    orders of magnitude faster end-to-end (scripts/bench_tabulator.py)."""
     n = steps.x.shape[0]
     state = E._init_state(steps)
-    content = jnp.zeros(axes.n_bins, jnp.float32)
     max_substeps = int(cfg.max_segment_m / step_length) + 2
 
     from ..medium.functions import eval_polynomial
 
-    def cond(carry):
-        _, state, _, _ = carry
-        return jnp.any(state.in_flight | (state.photons_left > 0))
-
-    def body(carry):
-        i, state, content, remainder = carry
+    def body(k, carry, i0):
+        state, remainder, idx_buf, w_buf = carry
+        i = i0 + k
         u = rng.uniforms(rng.iter_key(key, i), (n,), 9)
 
         fresh = (~state.in_flight) & (state.photons_left > 0)
@@ -198,6 +200,8 @@ def _tabulate_batch(steps: StepBatch, medium: MediumProperties,
         with_impact = bool(getattr(axes, "impact_angle", False))
         sub_key = rng.iter_key(rng.iter_key(key, i), 0x1A7B)  # impact draws
         new_remainder = remainder
+        idx_parts = []
+        w_parts = []
         for m in range(max_substeps):
             d = remainder + m * step_length
             in_seg = (d < d_prop) & active
@@ -223,13 +227,17 @@ def _tabulate_batch(steps: StepBatch, medium: MediumProperties,
                           impact * jnp.exp(-(depth_start + frac * step_depth)),
                           0.0)
             idx = axes.flat_index(coords)
-            content = content.at[jnp.clip(idx, 0, axes.n_bins - 1)].add(
-                w, mode="drop")
+            idx_parts.append(jnp.clip(idx, 0, axes.n_bins - 1))
+            w_parts.append(w)
             # photons that leave the table bounds stop propagating
             state = state._replace(
                 in_flight=state.in_flight & ~(in_seg & oob))
             new_remainder = jnp.where(in_seg, d + step_length - d_prop,
                                       new_remainder)
+        idx_buf = jax.lax.dynamic_update_index_in_dim(
+            idx_buf, jnp.stack(idx_parts).reshape(-1), k, 0)
+        w_buf = jax.lax.dynamic_update_index_in_dim(
+            w_buf, jnp.stack(w_parts).reshape(-1), k, 0)
         remainder = jnp.where(active, new_remainder, remainder)
 
         # advance / absorb / scatter (same flow as the main engine)
@@ -261,13 +269,34 @@ def _tabulate_batch(steps: StepBatch, medium: MediumProperties,
 
         died = active & (absorbed | (state.abs_lens_left < E.EPSILON))
         state = state._replace(in_flight=state.in_flight & ~died)
-        return (i + 1, state, content, remainder)
+        return (state, remainder, idx_buf, w_buf)
 
-    i0 = jnp.zeros((), jnp.int32)
-    remainder0 = jnp.zeros(n, jnp.float32)
-    _, _, content, _ = jax.lax.while_loop(cond, body,
-                                          (i0, state, content, remainder0))
-    return content
+    @functools.partial(jax.jit, static_argnums=())
+    def chunk(state, remainder, i0):
+        K = chunk_iters
+        idx_buf = jnp.zeros((K, max_substeps * n), jnp.int32)
+        w_buf = jnp.zeros((K, max_substeps * n), jnp.float32)
+        state, remainder, idx_buf, w_buf = jax.lax.fori_loop(
+            0, K, lambda k, c: body(k, c, i0),
+            (state, remainder, idx_buf, w_buf))
+        alive = jnp.sum((state.in_flight
+                         | (state.photons_left > 0)).astype(jnp.int32))
+        return state, remainder, idx_buf, w_buf, alive
+
+    content = np.zeros(axes.n_bins, np.float64)
+    remainder = jnp.zeros(n, jnp.float32)
+    i0 = 0
+    for _ in range(65536 // chunk_iters):
+        state, remainder, idx_buf, w_buf, alive = chunk(
+            state, remainder, jnp.int32(i0))
+        i0 += chunk_iters
+        wn = np.asarray(w_buf, np.float64).ravel()
+        nz = wn != 0.0
+        if nz.any():
+            np.add.at(content, np.asarray(idx_buf).ravel()[nz], wn[nz])
+        if int(alive) == 0:
+            break
+    return jnp.asarray(content, jnp.float32)
 
 
 class PhotonTable(NamedTuple):

@@ -106,11 +106,21 @@ def main():
               f"({N * T / dt / 1e6:7.1f}M lane-iters/s)", flush=True)
         return dt
 
+    def fwd_fused_halfbwd(b400):
+        m = medium._replace(b400=jnp.full(n_layers, b400, jnp.float32))
+        return jnp.sum(propagate_expected_diff(
+            steps, m, geo, spectra, key, cfg, n_iterations=T,
+            interpret=interpret, bwd_fraction=0.5))
+
+    grad_half = jax.jit(jax.value_and_grad(fwd_fused_halfbwd))
+
     t_ff = timed("fwd_fused", fwd_fused)
     t_fe = timed("fwd_engine", fwd_engine, reps=3)
     t_g = timed("grad_step", grad_step, reps=3)
-    print(f"fit-step overhead vs fused fwd: {t_g / t_ff:.1f}x "
-          f"(engine fwd alone is {t_fe / t_ff:.1f}x)")
+    t_gh = timed("grad_bf0.5", grad_half, reps=3)
+    print(f"fit-step overhead vs fused fwd: {t_g / t_ff:.1f}x exact, "
+          f"{t_gh / t_ff:.1f}x with the bwd_fraction=0.5 stochastic "
+          f"backward (engine fwd alone is {t_fe / t_ff:.1f}x)")
 
 
 if __name__ == "__main__":

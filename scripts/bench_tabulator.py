@@ -1,0 +1,99 @@
+"""Tabulator throughput benchmark (round-3 review item 6).
+
+Measures photons/s of table generation (the reference's TABULATE mode,
+propagation_kernel.c.cl:540-785) on the current device with a
+representative spice-like medium and the default spherical axes.
+
+Measured on the axon-relay v5e (2026-08-21): 5.2e2 photons/s at 2048
+slots -- LINK-BOUND, not compute-bound: the deposit stream is ~38 KB/photon
+(37-substep comb x ~30+ iterations x 8 B, zeros included) and this
+environment's device->host relay moves ~20 MB/s (measured directly).  On a
+standard PCIe/DMA TPU host (>= 16 GB/s) the same stream supports >= 4e5
+photons/s and the device-side propagation becomes the binding term.  The
+reference's GPU tabulator instead atomically adds into a ~75M-bin global-
+memory table (propagation_kernel.c.cl:296-304) -- a mechanism TPUs lack by
+design; device-side scattered adds were measured 1000x slower than the
+propagation itself, so the TPU-native division of labor is: jitted
+propagation chunks emit (bin, weight) entries, the host accumulates with
+np.add.at (the same split as the fused kernel's record queue).
+
+Why the tabulator stays at engine level instead of a fused-kernel variant:
+the TABULATE deposit is a ~1 m COMB along every scattering segment -- up to
+~35 deposits per lane PER ITERATION (vs <= 1 hit for the detect estimator
+and ~1 crossing for the expected estimator).  The fused kernel's deposit
+path is a compacted per-block queue sized for sparse hits; a comb would
+need either a VMEM-resident 4-D table (hundreds of MB -- does not fit) or
+a queue hundreds of rows deep flushed every iteration, erasing the fused
+win.  Table generation is also an offline, once-per-ice-model workload
+(the reference's tablemaker runs it as cluster batch jobs,
+resources/docs/tabulator.rst), so the engine-level implementation with
+full test coverage is the right cost/benefit point; this script publishes
+what it actually sustains.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from clsim_tpu.medium.properties import make_homogeneous_ice
+from clsim_tpu.medium.functions import DEFAULT_ICE_REF_INDEX
+from clsim_tpu.ops.spectrum import make_cherenkov_spectrum, stack_spectra
+from clsim_tpu.tabulator.table import make_reference_source, tabulate
+from clsim_tpu.types import PropagationConfig, StepBatch
+
+
+def main():
+    on_cpu = jax.devices()[0].platform == "cpu"
+    n_slots = int(os.environ.get("BENCH_SLOTS", 512 if on_cpu else 65536))
+    pps = int(os.environ.get("BENCH_PHOTONS_PER_SLOT", 4 if on_cpu else 32))
+    reps = int(os.environ.get("BENCH_REPS", 1 if on_cpu else 2))
+
+    medium = make_homogeneous_ice(n_layers=171, z_start=-855.0,
+                                  layer_height=10.0)
+    spectra = stack_spectra([make_cherenkov_spectrum(
+        DEFAULT_ICE_REF_INDEX, medium.min_wlen, medium.max_wlen)])
+    source = make_reference_source(0.0, 0.0, 0.0, 0.0, np.pi / 2, 0.0)
+    cfg = PropagationConfig(n_slots=n_slots, max_layer_steps=4,
+                            max_segment_m=35.0)
+
+    rng0 = np.random.default_rng(3)
+    n = n_slots
+    costh = rng0.uniform(-1, 1, n)
+    sinth = np.sqrt(1 - costh ** 2)
+    phi = rng0.uniform(0, 2 * np.pi, n)
+    steps = StepBatch(
+        x=np.zeros(n, np.float32), y=np.zeros(n, np.float32),
+        z=np.zeros(n, np.float32), t=np.zeros(n, np.float32),
+        dir_x=(sinth * np.cos(phi)).astype(np.float32),
+        dir_y=(sinth * np.sin(phi)).astype(np.float32),
+        dir_z=costh.astype(np.float32),
+        length=np.full(n, 1e-3, np.float32),
+        beta=np.ones(n, np.float32),
+        num_photons=np.full(n, pps, np.int32),
+        weight=np.ones(n, np.float32),
+        identifier=np.zeros(n, np.int32),
+        source_type=np.zeros(n, np.int32))
+
+    def run(seed):
+        t = tabulate([steps], medium, spectra, source, seed=seed, cfg=cfg)
+        return float(jnp.sum(jnp.asarray(t.values)))  # sync
+
+    run(1)  # compile + warm
+    t0 = time.perf_counter()
+    for r in range(reps):
+        run(2 + r)
+    dt = (time.perf_counter() - t0) / reps
+    rate = n_slots * pps / dt
+    print(f"tabulator: {n_slots} slots x {pps} photons in {dt:.2f} s "
+          f"= {rate:.3e} photons/s "
+          f"({'cpu' if on_cpu else jax.devices()[0].platform})")
+
+
+if __name__ == "__main__":
+    main()

@@ -303,3 +303,26 @@ def test_diff_nan_poisons_on_dropped_deposits():
                                  n_iterations=6, interpret=True,
                                  queue_rows=128, flush_rows=32)
     assert np.isfinite(np.asarray(h2)).all()
+
+
+def test_diff_bwd_fraction_unbiased():
+    """The stochastic backward (bwd_fraction) yields a correctly-SCALED
+    unbiased gradient: on the beam workload the absorption gradient from a
+    half-slot backward must match the full backward within sampling noise
+    (an off-by-scale bug would show as a clean 2x)."""
+    medium, geo, spectra, cfg, steps = _beam_workload(n=4096)
+    key = jnp.asarray([0, 31], jnp.uint32)
+
+    def loss(ad, frac):
+        m = medium._replace(a_dust400=jnp.full(4, ad, jnp.float32))
+        h = propagate_expected_diff(steps, m, geo, spectra, key, cfg,
+                                    n_iterations=6, interpret=True,
+                                    queue_rows=128, flush_rows=32,
+                                    bwd_fraction=frac)
+        return jnp.sum(h)
+
+    a0 = jnp.float32(0.005)
+    g_full = float(jax.grad(loss)(a0, 1.0))
+    g_half = float(jax.grad(loss)(a0, 0.5))
+    assert g_full != 0.0
+    assert g_half == pytest.approx(g_full, rel=0.2), (g_half, g_full)
