@@ -111,6 +111,13 @@ def propagate_auto(steps: StepBatch, medium: MediumProperties,
         seed = (key_or_seed if isinstance(key_or_seed, int)
                 else _seed_from_key(key_or_seed))
         fused_opts.setdefault("block_lanes", _pick_block_lanes(n))
+        if ("iters_per_call" not in fused_opts
+                and not isinstance(steps.num_photons, jax.core.Tracer)):
+            # interleaved A/B (scripts/ab_blk.py): ipc=512 wins ~3% on
+            # long workloads (the drain tail amortizes), 256 on short ones
+            # (finer early-exit granularity)
+            pps = int(np.max(np.asarray(steps.num_photons), initial=0))
+            fused_opts["iters_per_call"] = 512 if pps >= 100 else 256
         res, totals = propagate_fused(steps, medium, geo, spectra, seed, cfg,
                                       **fused_opts)
         # attach (async) so API/pipeline layers can check for dropped or
