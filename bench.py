@@ -172,9 +172,16 @@ def main():
                 n_slots, photons_per_slot)
         steps_j = StepBatch(*[jnp.asarray(f) for f in steps])
 
+        last_diag = {}
+
         def run(seed):
             res = propagate_auto(steps_j, medium, geo, spectra, int(seed),
                                  cfg, backend=backend, max_calls=512)
+            if res.diag_totals is not None:
+                from clsim_tpu.propagate.kernel import CNT_ALIVE, CNT_DROPPED
+                dt_ = np.asarray(res.diag_totals, np.float64)
+                last_diag["dropped"] = float(dt_[CNT_DROPPED])
+                last_diag["abandoned"] = float(dt_[CNT_ALIVE])
             # note: block_until_ready is unreliable on the axon TPU relay --
             # force a host transfer to synchronize
             return float(res.n_generated), float(jnp.sum(res.hist))
@@ -187,7 +194,7 @@ def main():
         for r in range(reps):
             ng, _ = run(100 + r)
             total_photons += ng
-        return total_photons / (time.perf_counter() - t0)
+        return total_photons / (time.perf_counter() - t0), dict(last_diag)
 
     # headline: the requested geometry (hex61 default); the irregular
     # 86-string detector is ALWAYS measured alongside so the reported number
@@ -200,7 +207,7 @@ def main():
     t_start = time.perf_counter()
     deadline = float(os.environ.get("BENCH_DEADLINE_S", 480.0))
     headline_geo = os.environ.get("BENCH_GEO", "hex61")
-    v_head = measure(headline_geo)
+    v_head, diag_head = measure(headline_geo)
     out = {
         "metric": "photons_propagated_per_s_per_chip",
         "value": v_head,
@@ -210,10 +217,17 @@ def main():
     }
     elapsed = time.perf_counter() - t_start
     other = "ic86" if headline_geo != "ic86" else "hex61"
-    out[other] = measure(other, reps=1 if elapsed > 0.5 * deadline else None)
+    out[other], diag_other = measure(
+        other, reps=1 if elapsed > 0.5 * deadline else None)
     for g in ("hex61", "ic86"):
         if not (out.get(g, 0.0) > 0.0):
             raise RuntimeError(f"bench produced no throughput for {g}")
+    # loss counters of the last measured rep per geometry (must be 0: the
+    # throughput number is only honest if nothing was dropped or abandoned)
+    for g, d in ((headline_geo, diag_head), (other, diag_other)):
+        if d:
+            out[f"{g}_dropped"] = d["dropped"]
+            out[f"{g}_abandoned"] = d["abandoned"]
     print(json.dumps(out))
 
 
