@@ -1486,7 +1486,9 @@ def _make_kernel(spec: FusedSpec):
                 flat_idx = jnp.zeros_like(x)
             n_hits = n_hits + hit_act.astype(jnp.float32)
             w_sum = w_sum + w_hit
-            if spec.expected:
+            if spec.expected and "noexpflush" in ablate:
+                pass          # probe: deposit cost of the expected path
+            elif spec.expected:
                 # deposits flush immediately: a pass-through photon can hit
                 # again next iteration, so no pending registers
                 if spec.soft:
