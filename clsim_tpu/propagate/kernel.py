@@ -249,6 +249,13 @@ class FusedSpec(NamedTuple):
                                # so fatter trips amortize it
     sub_plans: tuple = ()      # per-subdetector SubPlans (affine uniform-z
                                # groups); () = legacy single global plan
+    stopping: bool = True      # detect: STOP_PHOTONS_ON_DETECTION; False
+                               # = the reference's non-stopping detect mode
+                               # (hit recorded, photon continues) -- deposits
+                               # then flush inline like the expected path
+    fixed_abs: bool = False    # detect with a fixed absorption-length
+                               # horizon (PROPAGATE_FOR_FIXED_NUMBER_OF_
+                               # ABSORPTION_LENGTHS) instead of sampled
     threefry: bool = False     # in-kernel counter-based threefry2x32 RNG,
                                # BIT-EXACT to ops/rng (jax.random.uniform's
                                # partitionable path: per element j of
@@ -845,8 +852,8 @@ def _make_kernel(spec: FusedSpec):
                 ndx = jnp.where(is_cherenkov, cdx, stp["dir_x"])
                 ndy = jnp.where(is_cherenkov, cdy, stp["dir_y"])
                 ndz = jnp.where(is_cherenkov, cdz, stp["dir_z"])
-                if spec.expected:
-                    # fixed absorption-length horizon (engine.py:150-154)
+                if spec.expected or spec.fixed_abs:
+                    # fixed absorption-length horizon (engine.py:171-176)
                     abs_init = jnp.full_like(x, spec.horizon)
                 else:
                     abs_init = -jnp.log(1.0 - u[3])
@@ -1450,7 +1457,7 @@ def _make_kernel(spec: FusedSpec):
                 hit_dom = jnp.zeros_like(x)
             hit_act = hit & active
 
-            if not spec.expected:
+            if not spec.expected and spec.stopping:
                 # stop-on-detection (detect estimator; engine.py:463-470)
                 d_prop = jnp.where(hit_act, hit_dist, d_prop)
                 absorbed = absorbed & ~hit_act
@@ -1486,8 +1493,9 @@ def _make_kernel(spec: FusedSpec):
                 flat_idx = jnp.zeros_like(x)
             n_hits = n_hits + hit_act.astype(jnp.float32)
             w_sum = w_sum + w_hit
-            if spec.expected and "noexpflush" in ablate:
-                pass          # probe: deposit cost of the expected path
+            inline_deposit = spec.expected or not spec.stopping
+            if inline_deposit and "noexpflush" in ablate:
+                pass          # probe: deposit cost of the inline path
             elif spec.expected:
                 # deposits flush immediately: a pass-through photon can hit
                 # again next iteration, so no pending registers
@@ -1504,6 +1512,13 @@ def _make_kernel(spec: FusedSpec):
                 else:
                     _, _, head, n_dropped = flush(flat_idx, w_hit,
                                                   head, n_dropped)
+            elif not spec.stopping:
+                # non-stopping detect (STOP_PHOTONS_ON_DETECTION off): the
+                # photon keeps flying past the DOM, so deposits flush
+                # inline like the expected path (a lane can hit again next
+                # iteration; pending registers would overwrite)
+                _, _, head, n_dropped = flush(flat_idx, w_hit,
+                                              head, n_dropped)
             else:
                 # park hits in the pending registers (free: the lane just
                 # died under stop-on-detection)
@@ -1636,7 +1651,7 @@ def _make_kernel(spec: FusedSpec):
 
             # ---------- retire ----------
             died = active & (absorbed | (abs_left < EPSILON))
-            if not spec.expected:
+            if not spec.expected and spec.stopping:
                 died = died | hit_act
             in_flight = jnp.where(died, 0.0, in_flight)
 
@@ -1696,8 +1711,9 @@ def _make_kernel(spec: FusedSpec):
                         return c
                     carry = jax.lax.fori_loop(0, spec.flush_every // (se * uf),
                                               group, carry)
-                if "noflush" in ablate or spec.expected:
-                    # expected mode flushes inline per iteration; the
+                if "noflush" in ablate or spec.expected \
+                        or not spec.stopping:
+                    # inline-deposit modes flush per iteration; the
                     # pending registers stay zero
                     zero_ = jnp.zeros_like(carry[IDX_PEND_W])
                     pend_idx, pend_w, head, n_dropped = (
@@ -1799,8 +1815,6 @@ def fused_supported(medium: MediumProperties, spectra: SpectrumTable,
             and medium.scattering.table_cos is None):
         return "tabulated scattering distribution without tables"
     if cfg.estimator == "detect":
-        if not cfg.stop_on_detection:
-            return "non-stopping detect estimator not fused"
         if cfg.soft_binning:
             return "soft binning is fused only with estimator='expected'"
     elif cfg.estimator != "expected":
@@ -1810,8 +1824,6 @@ def fused_supported(medium: MediumProperties, spectra: SpectrumTable,
             return "photon records fused only with stopping detect"
         if cfg.photon_history_entries > 0:
             return "photon scatter-history records not fused"
-    if cfg.fixed_abs_lens > 0 and cfg.estimator != "expected":
-        return "fixed-absorption-length detect mode not fused"
     return None
 
 
@@ -2081,7 +2093,8 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         # small cap in one iteration -- entries beyond it are DROPPED
         # (CNT_DROPPED), so expected mode defaults higher
         flush_rows=(min(flush_rows, queue_rows) if flush_rows
-                    else min(8 if cfg.estimator == "expected" else 4,
+                    else min(8 if (cfg.estimator == "expected"
+                                   or not cfg.stop_on_detection) else 4,
                              queue_rows)),
         K=K,
         L=medium.n_layers,
@@ -2116,6 +2129,9 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
         rec_prescale=float(cfg.save_all_prescale),
         unroll=unroll,
         expected=cfg.estimator == "expected",
+        stopping=cfg.stop_on_detection,
+        fixed_abs=(cfg.fixed_abs_lens > 0
+                   and cfg.estimator == "detect"),
         soft=cfg.soft_binning,
         ang_poly=tuple(cfg.expected_angular_poly or ()),
         pmt_axis=tuple(cfg.pmt_axis),

@@ -68,6 +68,7 @@ SLOW_TESTS = {
     "test_kernel_balance_conserves_and_drains",
     "test_affine_collision_matches_general",
     "test_kernel_expected_estimator_matches_engine",
+    "test_kernel_nonstopping_and_fixed_abs_detect",
     # tests/test_diff.py
     "test_diff_gradient_matches_engine_ad_and_fd",
     "test_diff_scattering_gradient_bias_bounded",

@@ -701,3 +701,24 @@ def test_kernel_threefry_bit_exact():
     assert np.array_equal(np.asarray(res_u.hist), np.asarray(res_t.hist))
     assert float(tot_t[FK.CNT_GEN]) == float(acc_e.n_generated)
     assert float(tot_t[FK.CNT_HITS]) == float(acc_e.n_hits)
+
+
+@pytest.mark.parametrize("mod", [
+    dict(stop_on_detection=False),
+    dict(fixed_abs_lens=8.0),
+    dict(stop_on_detection=False, fixed_abs_lens=8.0),
+])
+def test_kernel_nonstopping_and_fixed_abs_detect(mod):
+    """The reference's remaining detect #define modes at device speed
+    (round-3 review Missing #2): STOP_PHOTONS_ON_DETECTION off (hit
+    recorded, photon continues -- deposits flush inline) and
+    PROPAGATE_FOR_FIXED_NUMBER_OF_ABSORPTION_LENGTHS (fixed horizon
+    instead of sampled absorption), each against the engine on a shared
+    uniform stream."""
+    medium, geo, spectra, cfg, steps, uniforms = _workload()
+    cfg2 = dataclasses.replace(cfg, **mod)
+    assert FK.fused_supported(medium, spectra, cfg2) is None
+    _, acc_e = _run_engine_with_uniforms(steps, medium, geo, spectra, cfg2,
+                                         uniforms)
+    res, totals = _run_kernel(steps, medium, geo, spectra, cfg2, uniforms)
+    _compare(acc_e, res, totals, geo, cfg2)
