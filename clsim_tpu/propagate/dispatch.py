@@ -113,11 +113,17 @@ def propagate_auto(steps: StepBatch, medium: MediumProperties,
         fused_opts.setdefault("block_lanes", _pick_block_lanes(n))
         if ("iters_per_call" not in fused_opts
                 and not isinstance(steps.num_photons, jax.core.Tracer)):
-            # interleaved A/B (scripts/ab_blk.py): ipc=512 wins ~3% on
-            # long workloads (the drain tail amortizes), 256 on short ones
-            # (finer early-exit granularity)
+            # interleaved A/B (scripts/ab_blk.py, ab_sefe.py): on long
+            # workloads ipc=512 (+3%, drain tail amortizes) and
+            # flush_every=32 (+5%, half the queue compactions; hit lanes
+            # park longer but hits are rare) win; short workloads keep the
+            # finer 256/16 early-exit granularity
             pps = int(np.max(np.asarray(steps.num_photons), initial=0))
-            fused_opts["iters_per_call"] = 512 if pps >= 100 else 256
+            if pps >= 100:
+                fused_opts["iters_per_call"] = 512
+                fused_opts.setdefault("flush_every", 32)
+            else:
+                fused_opts["iters_per_call"] = 256
         res, totals = propagate_fused(steps, medium, geo, spectra, seed, cfg,
                                       **fused_opts)
         # attach (async) so API/pipeline layers can check for dropped or
