@@ -115,13 +115,14 @@ def propagate_auto(steps: StepBatch, medium: MediumProperties,
                 and not isinstance(steps.num_photons, jax.core.Tracer)):
             # interleaved A/B (scripts/ab_blk.py, ab_sefe.py): on long
             # workloads ipc=512 (+3%, drain tail amortizes) and
-            # flush_every=32 (+5%, half the queue compactions; hit lanes
-            # park longer but hits are rare) win; short workloads keep the
-            # finer 256/16 early-exit granularity
+            # flush_every=64 (+6% vs 16: 1/4 the queue compactions; hit
+            # lanes park longer but hits are rare and CNT_DROPPED stays 0)
+            # win; short workloads keep the finer 256/16 early-exit
+            # granularity.  ipc=1024 and queue_rows=64 measured neutral.
             pps = int(np.max(np.asarray(steps.num_photons), initial=0))
             if pps >= 100:
                 fused_opts["iters_per_call"] = 512
-                fused_opts.setdefault("flush_every", 32)
+                fused_opts.setdefault("flush_every", 64)
             else:
                 fused_opts["iters_per_call"] = 256
         res, totals = propagate_fused(steps, medium, geo, spectra, seed, cfg,

@@ -18,27 +18,29 @@ def main():
     n_slots = int(os.environ.get("BENCH_SLOTS", 262144))
     photons = int(os.environ.get("BENCH_PHOTONS_PER_SLOT", 200))
     reps = int(os.environ.get("BENCH_REPS", 3))
-    combos = [(4, 16), (2, 16), (8, 16), (4, 32), (2, 8)]
+    combos = [tuple(int(v) for v in c.split(":"))
+              for c in os.environ.get(
+                  "BENCH_COMBOS", "4:16,2:16,8:16,4:32,2:8").split(",")]
 
     medium, geo, spectra, cfg, steps = build_workload(n_slots, photons)
     steps = type(steps)(*[jnp.asarray(f) for f in steps])
 
-    def make(se, fe):
+    def make(se, fe, ipc=512, qr=32):
         def run(seed):
             res, totals = propagate_fused(
                 steps, medium, geo, spectra, seed=seed, cfg=cfg,
-                iters_per_call=512, flush_every=fe, queue_rows=32,
-                block_lanes=8192, max_calls=512, spawn_every=se,
-                repack=True)
+                iters_per_call=ipc, flush_every=fe, queue_rows=qr,
+                block_lanes=8192, max_calls=512 * 512 // ipc,
+                spawn_every=se, repack=True)
             return res, totals
         return run
 
     runs = {}
-    for se, fe in combos:
-        runs[(se, fe)] = make(se, fe)
-        res, _ = runs[(se, fe)](1)
+    for combo in combos:
+        runs[combo] = make(*combo)
+        res, _ = runs[combo](1)
         float(jnp.sum(res.hist))
-        print(f"se={se} fe={fe}: compiled", flush=True)
+        print(f"{combo}: compiled", flush=True)
     times = {k: [] for k in runs}
     gens = {k: 0.0 for k in runs}
     for r in range(reps):
@@ -49,7 +51,7 @@ def main():
             times[k].append(time.perf_counter() - t0)
     for k in runs:
         med = sorted(times[k])[len(times[k]) // 2]
-        print(f"se={k[0]} fe={k[1]:<3} med {gens[k]/reps/med:.3e} photons/s",
+        print(f"{str(k):<16} med {gens[k]/reps/med:.3e} photons/s",
               flush=True)
 
 
