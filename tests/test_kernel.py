@@ -233,10 +233,17 @@ def test_kernel_multi_call_drains():
 def test_fused_supported_gates():
     medium, geo, spectra, cfg, steps, uniforms = _workload()
     assert FK.fused_supported(medium, spectra, cfg) is None
-    # the expected estimator is fused now; non-stopping detect is not
+    # expected estimator, non-stopping detect and fixed-abs detect are all
+    # fused (round 4); soft binning stays expected-only
     ok = dataclasses.replace(cfg, estimator="expected", soft_binning=True)
     assert FK.fused_supported(medium, spectra, ok) is None
-    bad = dataclasses.replace(cfg, stop_on_detection=False)
+    assert FK.fused_supported(
+        medium, spectra,
+        dataclasses.replace(cfg, stop_on_detection=False)) is None
+    assert FK.fused_supported(
+        medium, spectra,
+        dataclasses.replace(cfg, fixed_abs_lens=8.0)) is None
+    bad = dataclasses.replace(cfg, soft_binning=True)
     assert FK.fused_supported(medium, spectra, bad) is not None
     # photon records (incl. stopping SAVE_ALL) are fused; the
     # non-stopping SAVE_ALL flavor and scatter histories fall back
