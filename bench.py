@@ -158,18 +158,19 @@ def main():
 
     cpu0 = jax.devices("cpu")[0] if not on_cpu else None
 
-    def measure(geo_name, reps=None):
+    def measure(geo_name, reps=None, pps=None):
         os.environ["BENCH_GEO"] = geo_name
+        pps = photons_per_slot if pps is None else pps
         if cpu0 is not None:
             # keep the workload build's small jnp ops OFF the TPU relay
             # (each fresh tiny op costs a ~5 s remote compile and is
             # exposed to relay stalls; see CLAUDE.md)
             with jax.default_device(cpu0):
                 medium, geo, spectra, cfg, steps = build_workload(
-                    n_slots, photons_per_slot)
+                    n_slots, pps)
         else:
             medium, geo, spectra, cfg, steps = build_workload(
-                n_slots, photons_per_slot)
+                n_slots, pps)
         steps_j = StepBatch(*[jnp.asarray(f) for f in steps])
 
         last_diag = {}
@@ -194,7 +195,8 @@ def main():
         for r in range(reps):
             ng, _ = run(100 + r)
             total_photons += ng
-        return total_photons / (time.perf_counter() - t0), dict(last_diag)
+        return (total_photons / (time.perf_counter() - t0),
+                dict(last_diag), reps)
 
     # headline: the requested geometry (hex61 default); the irregular
     # 86-string detector is ALWAYS measured alongside so the reported number
@@ -207,17 +209,18 @@ def main():
     t_start = time.perf_counter()
     deadline = float(os.environ.get("BENCH_DEADLINE_S", 480.0))
     headline_geo = os.environ.get("BENCH_GEO", "hex61")
-    v_head, diag_head = measure(headline_geo)
+    v_head, diag_head, reps_head = measure(headline_geo)
     out = {
         "metric": "photons_propagated_per_s_per_chip",
         "value": v_head,
         "unit": "photons/s",
         "vs_baseline": v_head / TARGET,
         headline_geo: v_head,
+        f"{headline_geo}_reps": reps_head,
     }
     elapsed = time.perf_counter() - t_start
     other = "ic86" if headline_geo != "ic86" else "hex61"
-    out[other], diag_other = measure(
+    out[other], diag_other, out[f"{other}_reps"] = measure(
         other, reps=1 if elapsed > 0.5 * deadline else None)
     for g in ("hex61", "ic86"):
         if not (out.get(g, 0.0) > 0.0):
@@ -228,6 +231,20 @@ def main():
         if d:
             out[f"{g}_dropped"] = d["dropped"]
             out[f"{g}_abandoned"] = d["abandoned"]
+    # production-in-flight-scale point (round-4 review item 2c): the
+    # reference benchmark keeps ~2700 photons/slot-equivalent in flight
+    # (MaxParallelEvents=100 x 40 TeV); at >=1000/slot the drain tail
+    # amortizes and utilization rises from ~0.68 to ~0.80 (ROOFLINE.md).
+    # Published alongside the conservative 200/slot headline, same kernel.
+    prod_pps = int(os.environ.get("BENCH_PROD_PHOTONS_PER_SLOT",
+                                  40 if on_cpu else 1000))
+    if time.perf_counter() - t_start < 0.8 * deadline:
+        v_prod, diag_prod, _ = measure(headline_geo, reps=1, pps=prod_pps)
+        out[f"{headline_geo}_prod"] = v_prod
+        out[f"{headline_geo}_prod_photons_per_slot"] = prod_pps
+        if diag_prod:
+            out[f"{headline_geo}_prod_dropped"] = diag_prod["dropped"]
+            out[f"{headline_geo}_prod_abandoned"] = diag_prod["abandoned"]
     print(json.dumps(out))
 
 

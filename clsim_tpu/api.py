@@ -53,6 +53,8 @@ class Simulation:
                  flasher_spectra: Sequence[WavelengthSpectrum] = (),
                  mesh=None,
                  backend: str = "auto",
+                 interpret: bool = False,
+                 fused_opts: Optional[dict] = None,
                  propagators: Sequence = None):
         self.medium = medium
         self.geometry = geometry
@@ -119,8 +121,19 @@ class Simulation:
 
         self._propagate = None
         if mesh is not None:
+            # the sharded product path serves the FUSED kernel whenever the
+            # configuration supports it -- the reference's scale-out fans
+            # steps to the *compiled* converters (I3CLSimServer.cxx:163-370),
+            # never to a slow fallback.  medium/geo/spectra are all known
+            # here, so pass them through for fused plan/spec construction;
+            # make_sharded_propagate records backend/backend_reason.
             from .parallel.mesh import make_sharded_propagate
-            self._propagate = make_sharded_propagate(mesh, self.config)
+            fopts = dict(fused_opts or {})
+            max_calls = fopts.pop("max_calls", 256)
+            self._propagate = make_sharded_propagate(
+                mesh, self.config, backend=self.backend,
+                medium=self.medium, geo=self.geometry, spectra=self.spectra,
+                interpret=interpret, max_calls=max_calls, **fopts)
 
     # ------------------------------------------------------------------
     def steps_from_particles(self, particles: Sequence[Particle],

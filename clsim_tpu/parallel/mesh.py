@@ -65,12 +65,18 @@ def make_sharded_propagate(mesh: Mesh, cfg: PropagationConfig,
     """
     use_fused = False
     reason = None
-    if backend != "engine" and geo is not None:
-        from ..propagate.dispatch import _pick_block_lanes, backend_reason
-        reason = backend_reason(medium, spectra, cfg, cfg.n_slots,
-                                interpret=interpret)
-        if reason is None:
-            use_fused = True
+    if backend != "engine":
+        if geo is None or medium is None or spectra is None:
+            # partial build-time args: fall back to the engine with a
+            # recorded reason instead of AttributeError-ing inside
+            # fused_supported (docstring contract)
+            reason = "build-time medium/geo/spectra not provided"
+        else:
+            from ..propagate.dispatch import backend_reason
+            reason = backend_reason(medium, spectra, cfg, cfg.n_slots,
+                                    interpret=interpret)
+            if reason is None:
+                use_fused = True
     if backend == "fused" and not use_fused:
         raise ValueError("sharded fused path unsupported: "
                          f"{reason or 'build-time medium/geo/spectra needed'}")
@@ -100,6 +106,7 @@ def make_sharded_propagate(mesh: Mesh, cfg: PropagationConfig,
 
     # ---- fused shard body -------------------------------------------------
     from ..propagate import kernel as FK
+    from ..propagate.dispatch import _pick_block_lanes
 
     block_lanes = fused_opts.pop("block_lanes", None) or \
         _pick_block_lanes(cfg.n_slots)
@@ -187,36 +194,52 @@ class IceFit:
     pass by XLA's scheduler).
     """
 
+    # MediumProperties fields whose perturbation changes the SAMPLING
+    # distribution of scatter events: gradients through them need the
+    # score-function (likelihood-ratio) term -- the detached estimator is
+    # not just noisy but WRONG-SIGNED on the beam workload
+    # (test_diff.py:217-229: detached +29.6k vs FD -105.0k)
+    SCATTERING_FIT_PARAMS = frozenset({"b400", "anisotropy", "scattering"})
+
     def __init__(self, mesh: Mesh, cfg: PropagationConfig,
                  geo: DetectorGeometry, spectra: SpectrumTable,
                  learning_rate: float = 1e-3, axis: str = PHOTON_AXIS,
                  max_iterations: int = 64, forward: str = "engine",
-                 interpret: bool = False, score_function: bool = False,
+                 interpret: bool = False,
+                 score_function: Optional[bool] = None,
                  bwd_fraction: float = 1.0):
         """forward='fused' routes the loss's forward pass through the fused
         Pallas expected-estimator kernel (propagate/diff.py) -- the engine
         serves only the VJP.  `interpret` runs the kernel in interpreter
-        mode (CPU tests / dryruns).  `score_function=True` adds the
+        mode (CPU tests / dryruns).  `score_function` adds the
         likelihood-ratio term so scattering-parameter gradients are
         unbiased (types.PropagationConfig.score_function; costs sampling
-        variance, use larger photon batches per step).  `bwd_fraction < 1`
-        runs the engine-AD backward on a slot subsample (unbiased minibatch
-        gradient, diff.py) -- fit-step cost approaches one fused forward."""
+        variance, use larger photon batches per step).  The default (None)
+        resolves AUTOMATICALLY on the first step(): ON when fit_params
+        contains a scattering parameter (SCATTERING_FIT_PARAMS), OFF for
+        absorption-only fits; passing score_function=False while fitting
+        scattering parameters emits a loud warning (the detached estimator
+        has the wrong sign there).  `bwd_fraction < 1` runs the engine-AD
+        backward on a RANDOM slot subsample (unbiased minibatch gradient,
+        diff.py) -- fit-step cost approaches one fused forward."""
         self.mesh = mesh
         self.axis = axis
         self.max_iterations = max_iterations
         cfg_grad = cfg if cfg.estimator == "expected" else \
             _replace_cfg(cfg, estimator="expected", soft_binning=True)
-        if score_function and not cfg_grad.score_function:
-            cfg_grad = _replace_cfg(cfg_grad, score_function=True)
-        self.cfg = cfg_grad
+        self._cfg_base = cfg_grad
+        self._score_function = score_function
+        self.cfg = cfg_grad if not score_function else \
+            _replace_cfg(cfg_grad, score_function=True)
         self.geo = geo
         self.spectra = spectra
         self.lr = learning_rate
         self.forward = forward
         self.interpret = interpret
         self.bwd_fraction = bwd_fraction
-        self._step = self._build()
+        # built lazily on the first step(), once fit_params is known, so
+        # score_function=None can resolve against the actual parameter set
+        self._step = None if score_function is None else self._build()
 
     def _build(self):
         cfg = self.cfg
@@ -265,6 +288,25 @@ class IceFit:
              steps: StepBatch, key, target_hist):
         """One SGD step; fit_params is a dict of MediumProperties field
         overrides (e.g. {'b400': ..., 'a_dust400': ...})."""
+        scat = self.SCATTERING_FIT_PARAMS & set(fit_params)
+        if self._step is None:
+            # score_function=None: resolve against the actual fit params
+            use_sf = bool(scat)
+            self.cfg = _replace_cfg(self._cfg_base, score_function=True) \
+                if use_sf else self._cfg_base
+            self._score_function = use_sf
+            self._step = self._build()
+        elif scat and not self._score_function \
+                and not getattr(self, "_warned_scat", False):
+            self._warned_scat = True
+            import warnings
+            warnings.warn(
+                f"fitting scattering parameters {sorted(scat)} with "
+                "score_function=False: the detached pathwise estimator's "
+                "scattering gradient is biased (wrong-signed on the beam "
+                "benchmark, test_diff.py) -- pass score_function=True or "
+                "leave it None for auto-selection", UserWarning,
+                stacklevel=2)
         return self._step(fit_params, medium, steps, key, target_hist)
 
 

@@ -130,15 +130,21 @@ def _make_expected_hist_threefry(cfg: PropagationConfig, n_iterations: int,
         scale = 1.0
         if bwd_fraction < 1.0:
             # stochastic backward (documented variance tradeoff): the
-            # engine-AD pass runs on a slot SUBSAMPLE and the gradient is
-            # scaled back -- an unbiased minibatch estimate of the
-            # population gradient (photons are i.i.d. across slots), at
+            # engine-AD pass runs on a RANDOM slot subsample (derived from
+            # the key, so heterogeneous/ordered step batches stay unbiased
+            # -- a deterministic prefix would systematically favor the
+            # first sources) and the gradient is scaled back -- an
+            # unbiased minibatch estimate of the population gradient, at
             # bwd_fraction of the backward's cost and ~1/bwd_fraction the
             # gradient variance.  The primal (the fused forward) is
             # untouched.
             m = max(128, (int(n * bwd_fraction) // 128) * 128)
             scale = n / m
-        steps_b = jax.tree.map(lambda a: a[:m], steps)
+            sel = jax.random.permutation(
+                jax.random.fold_in(key, 0x62776673), n)[:m]
+            steps_b = jax.tree.map(lambda a: a[sel], steps)
+        else:
+            steps_b = steps
 
         def engine_hist(medium):
             res = propagate(steps_b, medium, geo, spectra, key, cfg,

@@ -30,8 +30,11 @@ def _seed_from_key(key):
         ku = jnp.asarray(key).reshape(-1).astype(jnp.uint32)
         return ((ku[-1] ^ (ku[0] << 16))
                 & jnp.uint32(0x7fffffff)).astype(jnp.int32)
+    # same mixing formula as the traced branch (mask AFTER the xor) so
+    # jitted and eager propagate_auto use the same RNG stream for a given
+    # key, and the result always fits the downstream int32 seed
     k = np.asarray(key)
-    return int(k[-1]) ^ (int(k[0]) << 16 & 0x7fffffff)
+    return (int(k[-1]) ^ (int(k[0]) << 16)) & 0x7fffffff
 
 
 def _pick_block_lanes(n: int) -> Optional[int]:

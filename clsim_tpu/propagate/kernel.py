@@ -1925,15 +1925,33 @@ def _max_simultaneous(sx, sy, maxr, seg) -> int:
     return int(possible.sum(axis=1).max())
 
 
+# observability for the per-subdetector split (round-4 review Weak #6):
+# geometries that silently fall back to the single global plan lose the
+# split's measured 1.3-2x collision-stage win, so the fallback is warned
+# about and counted here (reset-able; surfaced by tests and profiling)
+SUBPLAN_FALLBACKS = {"count": 0, "reason": None}
+
+
 def plan_collision(geo: DetectorGeometry, cfg: PropagationConfig,
                    ablate: str = ""):
     """Unified host-side collision planning: per-subdetector SubPlans when
     the geometry allows, else the legacy single global cell plan.  Returns
     (cell_tab_np, plan_dict) ready for _build_spec(plan=...)."""
-    sub = _subdet_plans(geo, cfg, ablate)
+    sub, reason = _subdet_plans(geo, cfg, ablate)
     if sub is not None:
         cell_tab, plans = sub
         return cell_tab, dict(sub_plans=plans)
+    if reason is not None and "ablate" not in reason:
+        SUBPLAN_FALLBACKS["count"] += 1
+        SUBPLAN_FALLBACKS["reason"] = reason
+        import warnings
+        warnings.warn(
+            "per-subdetector collision split unavailable for this geometry "
+            f"({reason}); using the single global collision plan, which "
+            "costs ~1.3-2x more collision time per iteration on mixed-"
+            "density detectors (reference handles <=9 subdetectors, "
+            "sparse_collision_kernel.c.cl DO_CHECK)",
+            UserWarning, stacklevel=3)
     return _cell_plan(geo, cfg)
 
 
@@ -1941,15 +1959,16 @@ def _subdet_plans(geo: DetectorGeometry, cfg: PropagationConfig,
                   ablate: str = ""):
     """Build per-subdetector SubPlans when the geometry allows: affine
     DOM placement and few (z0, dz, nd) groups, each uniform within itself.
-    Returns (cell_tab, plans) or None (caller falls back to the legacy
-    single global plan)."""
+    Returns ((cell_tab, plans), None) or (None, reason) -- the caller
+    falls back to the legacy single global plan and surfaces the reason."""
     for flag in ("noaffine", "nosubdet", "nocull", "nosphere",
                  "cullfetchonly"):
         if flag in ablate:
-            return None
+            return None, f"ablate flag {flag!r}"
     affine_ok, _ = _affine_collision_plan(geo, cfg, ablate)
     if not affine_ok:
-        return None
+        return None, ("non-affine DOM placement (DOMs off the z0+m*dz "
+                      "ladder or z-candidate window > 16)")
     feats = np.asarray(geo.string_features, np.float64)   # (S, 8)
     keys = [tuple(np.round(feats[s, [4, 5, 7]], 6)) for s in
             range(feats.shape[0])]
@@ -1957,7 +1976,8 @@ def _subdet_plans(geo: DetectorGeometry, cfg: PropagationConfig,
     for s, k in enumerate(keys):
         groups.setdefault(k, []).append(s)
     if len(groups) > 4:
-        return None
+        return None, (f"{len(groups)} (z0, dz, nd) string groups exceed "
+                      "the 4-SubPlan budget")
     sxa = np.asarray(geo.string_x, np.float64)
     sya = np.asarray(geo.string_y, np.float64)
     smaxr = np.asarray(geo.string_max_r, np.float64)
@@ -1974,7 +1994,9 @@ def _subdet_plans(geo: DetectorGeometry, cfg: PropagationConfig,
         dz_abs = abs(dzf) if nd > 1 else 1.0
         n_cand = int(np.ceil((seg + 2 * margin) / dz_abs)) + 1
         if n_cand > 16:
-            return None
+            return None, (f"group dz={dz_abs:.1f} m needs {n_cand} "
+                          "z-candidates (> 16) at max_segment_m="
+                          f"{seg:.0f}")
         rounds = min(cfg.strings_per_photon,
                      _max_simultaneous(sxa[idx], sya[idx], smaxr[idx], seg))
         reach = seg + smaxr[idx] + 1.0
@@ -2007,7 +2029,10 @@ def _subdet_plans(geo: DetectorGeometry, cfg: PropagationConfig,
     # accept sets.  Otherwise fall back to the global plan.
     if sum(p.rounds for p in plans) > cfg.strings_per_photon \
             and len(plans) > 1:
-        return None
+        return None, ("per-group round sum "
+                      f"{sum(p.rounds for p in plans)} exceeds the "
+                      f"engine's strings_per_photon="
+                      f"{cfg.strings_per_photon} parity budget")
     cell_tab = np.zeros((row_off, width), np.float32)
     r = 0
     for tab in blocks:
@@ -2016,7 +2041,7 @@ def _subdet_plans(geo: DetectorGeometry, cfg: PropagationConfig,
         cell_tab[r + (tab.shape[0] // 4) * 2:
                  r + (tab.shape[0] // 4) * 3, tab.shape[1]:] = -1.0
         r += tab.shape[0]
-    return cell_tab, tuple(plans)
+    return (cell_tab, tuple(plans)), None
 
 
 def _cell_plan(geo: DetectorGeometry, cfg: PropagationConfig):
@@ -2750,6 +2775,17 @@ def propagate_fused(steps: StepBatch, medium: MediumProperties,
         if max_calls != 1:
             raise ValueError("threefry_key requires max_calls=1 (the key "
                              "table covers one call's iterations)")
+        if not jax.config.jax_threefry_partitionable:
+            # the in-kernel threefry (_threefry_bits) reproduces
+            # jax.random's PARTITIONABLE counter layout; with the old
+            # non-partitionable layout the engine backward would consume a
+            # divergent stream and the fit's shared-stream contract breaks
+            # silently -- fail loudly instead
+            raise RuntimeError(
+                "threefry_key requires jax_threefry_partitionable=True "
+                "(the in-kernel stream is bit-exact to jax.random's "
+                "partitionable layout only); set "
+                "jax.config.update('jax_threefry_partitionable', True)")
     cell_tab, plan = plan_collision(geo, cfg, ablate)
     spec = _build_spec(medium, geo, spectra, cfg, n, iters_per_call,
                        flush_every, queue_rows, block_lanes, splits,

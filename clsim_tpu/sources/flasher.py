@@ -14,9 +14,12 @@ Equivalent of I3CLSimLightSourceToStepConverterFlasher
   * step.source_type = the pulse's spectrum-table index (>= 1), dispatching
     the device-side wavelength sampler (propagation_kernel.c.cl:174-182)
 
-LED emission spectra: measured tables can be loaded from a clsim-style
-flasher_data directory; by default Gaussian approximations centered on the
-nominal LED wavelengths are used (good to the few-nm level).
+LED emission spectra: the measured/datasheet tables for all five LEDs are
+BUNDLED (sources/flasher_data.py, the same tables the reference loads via
+GetIceCubeFlasherSpectrum.py:38-60) and are the default; clsim-style
+flasher_data text files can be loaded instead, and Gaussian stand-ins
+remain available via `gaussian_approx=True` (the 340/370 nm LEDs are
+visibly non-Gaussian, so the stand-ins are for sensitivity studies only).
 """
 
 from __future__ import annotations
@@ -45,12 +48,18 @@ LED_GAUSSIAN_APPROX = {
 
 def led_spectrum(nominal_wlen_nm: int,
                  bias_wlen_nm=None, bias_values=None,
-                 flasher_data_dir: Optional[str] = None) -> WavelengthSpectrum:
+                 flasher_data_dir: Optional[str] = None,
+                 gaussian_approx: bool = False) -> WavelengthSpectrum:
     """Build the (bias-weighted) sampling spectrum for one LED.
 
-    If `flasher_data_dir` contains the clsim measured-spectrum text files
-    (two columns: wavelength [m], relative intensity), those are used;
-    otherwise the Gaussian approximation."""
+    Default: the BUNDLED measured/datasheet emission table for the LED
+    (sources/flasher_data.py -- the tables the reference loads from
+    resources/flasher_data, GetIceCubeFlasherSpectrum.py:38-60).  If
+    `flasher_data_dir` is given, clsim measured-spectrum text files
+    (two columns: wavelength [nm or m], relative intensity) are loaded
+    from there instead.  `gaussian_approx=True` selects the legacy
+    Gaussian stand-in (sensitivity studies only: the 340/370 nm LEDs are
+    non-Gaussian)."""
     table = None
     if flasher_data_dir is not None:
         candidates = [f for f in os.listdir(flasher_data_dir)
@@ -60,6 +69,11 @@ def led_spectrum(nominal_wlen_nm: int,
                               unpack=True)
             wl = data[0] * 1e9 if data[0].max() < 1e-3 else data[0]
             table = (wl, data[1])
+    if table is None and not gaussian_approx:
+        from .flasher_data import LED_SPECTRA
+        meas = LED_SPECTRA.get(int(nominal_wlen_nm))
+        if meas is not None:
+            table = (meas[:, 0], meas[:, 1])
     if table is None:
         center, sigma = LED_GAUSSIAN_APPROX[int(nominal_wlen_nm)]
         wl = np.linspace(center - 5 * sigma, center + 5 * sigma, 101)

@@ -18,7 +18,6 @@ Normalization divides each spatial cell by bin_volume/(step_length*dom_area)
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -141,29 +140,24 @@ def _impact_direction(dx, dy, dz, u_sin, u_az):
     return scatter_direction_by_angle(cosa, sina, dx, dy, dz, u_az)
 
 
-def _tabulate_batch(steps: StepBatch, medium: MediumProperties,
-                    spectra: SpectrumTable, source: ReferenceSource,
-                    angular_coeffs, key, cfg: PropagationConfig,
-                    axes: SphericalAxes, step_length: float,
-                    min_inv_groupvel, tan_theta_c, chunk_iters: int = 16):
-    """Propagate one slot-assigned batch in table mode and return the raw
-    (unnormalized) flat bin contents.
-
-    Deposit strategy: scattered adds into the ~1M-bin table serialize
-    per ENTRY on TPU (measured ~300 photons/s with device-side .at[].add,
-    whether issued per substep or batched), so the device runs the
-    propagation in jitted chunks that OUTPUT the comb's (bin, weight)
-    entries, and the host accumulates them with np.add.at -- the same
-    division of labor as the fused kernel's record queue.  Measured ~3
-    orders of magnitude faster end-to-end (scripts/bench_tabulator.py)."""
-    n = steps.x.shape[0]
-    state = E._init_state(steps)
+def _make_tabulate_chunk(medium: MediumProperties, spectra: SpectrumTable,
+                         source: ReferenceSource, angular_coeffs,
+                         cfg: PropagationConfig, axes: SphericalAxes,
+                         step_length: float, min_inv_groupvel, tan_theta_c,
+                         chunk_iters: int = 16):
+    """Build the jitted propagation chunk ONCE per tabulate() run so its
+    compilation is reused across step batches (defining the jit inside the
+    per-batch function made the cache miss on every batch -- seconds of
+    recompile per batch on a remote-compile link).  `steps` and `key` are
+    traced arguments; the physics configuration is closed over as
+    constants."""
     max_substeps = int(cfg.max_segment_m / step_length) + 2
 
     from ..medium.functions import eval_polynomial
 
-    def body(k, carry, i0):
+    def body(k, carry, i0, steps, key):
         state, remainder, idx_buf, w_buf = carry
+        n = steps.x.shape[0]
         i = i0 + k
         u = rng.uniforms(rng.iter_key(key, i), (n,), 9)
 
@@ -271,24 +265,43 @@ def _tabulate_batch(steps: StepBatch, medium: MediumProperties,
         state = state._replace(in_flight=state.in_flight & ~died)
         return (state, remainder, idx_buf, w_buf)
 
-    @functools.partial(jax.jit, static_argnums=())
-    def chunk(state, remainder, i0):
+    @jax.jit
+    def chunk(steps, key, state, remainder, i0):
         K = chunk_iters
+        n = steps.x.shape[0]
         idx_buf = jnp.zeros((K, max_substeps * n), jnp.int32)
         w_buf = jnp.zeros((K, max_substeps * n), jnp.float32)
         state, remainder, idx_buf, w_buf = jax.lax.fori_loop(
-            0, K, lambda k, c: body(k, c, i0),
+            0, K, lambda k, c: body(k, c, i0, steps, key),
             (state, remainder, idx_buf, w_buf))
         alive = jnp.sum((state.in_flight
                          | (state.photons_left > 0)).astype(jnp.int32))
         return state, remainder, idx_buf, w_buf, alive
 
+    return chunk
+
+
+def _tabulate_batch(chunk, steps: StepBatch, key, axes: SphericalAxes,
+                    chunk_iters: int = 16):
+    """Propagate one slot-assigned batch in table mode and return the raw
+    (unnormalized) flat bin contents.
+
+    Deposit strategy: scattered adds into the ~1M-bin table serialize
+    per ENTRY on TPU (measured ~300 photons/s with device-side .at[].add,
+    whether issued per substep or batched), so the device runs the
+    propagation in jitted chunks (prebuilt by _make_tabulate_chunk) that
+    OUTPUT the comb's (bin, weight) entries, and the host accumulates them
+    with np.add.at -- the same division of labor as the fused kernel's
+    record queue.  Measured ~3 orders of magnitude faster end-to-end
+    (scripts/bench_tabulator.py)."""
+    n = steps.x.shape[0]
+    state = E._init_state(steps)
     content = np.zeros(axes.n_bins, np.float64)
     remainder = jnp.zeros(n, jnp.float32)
     i0 = 0
     for _ in range(65536 // chunk_iters):
         state, remainder, idx_buf, w_buf, alive = chunk(
-            state, remainder, jnp.int32(i0))
+            steps, key, state, remainder, jnp.int32(i0))
         i0 += chunk_iters
         wn = np.asarray(w_buf, np.float64).ravel()
         nz = wn != 0.0
@@ -344,13 +357,13 @@ def tabulate(step_batches, medium: MediumProperties, spectra: SpectrumTable,
     key = jax.random.PRNGKey(seed)
     total = np.zeros(axes.n_bins, np.float64)
     n_photons = 0.0
+    chunk = _make_tabulate_chunk(medium, spectra, source, angular_coeffs,
+                                 cfg, axes, float(step_length),
+                                 jnp.float32(min_inv_gv),
+                                 jnp.float32(tan_theta_c))
     for i, batch in enumerate(step_batches):
         b = StepBatch(*[jnp.asarray(f) for f in batch])
-        content = _tabulate_batch(b, medium, spectra, source, angular_coeffs,
-                                  jax.random.fold_in(key, i), cfg, axes,
-                                  float(step_length),
-                                  jnp.float32(min_inv_gv),
-                                  jnp.float32(tan_theta_c))
+        content = _tabulate_batch(chunk, b, jax.random.fold_in(key, i), axes)
         total += np.asarray(content, np.float64)
         n_photons += float(np.asarray(batch.num_photons).sum())
 

@@ -49,6 +49,7 @@ SLOW_TESTS = {
     "test_sharded_matches_single_device_statistically",
     "test_sharded_propagate_conserves_counts",
     "test_sharded_fused_matches_engine_shared_stream",
+    "test_api_simulation_mesh_fused_parity",
     # tests/test_engine.py
     "test_gradient_matches_finite_difference",
     "test_expected_estimator_folds_angular_acceptance",

@@ -96,6 +96,54 @@ def test_flasher_pulse_end_to_end(setup):
     assert float(res.n_hits) > 0
 
 
+def test_led_spectrum_measured_default():
+    """led_spectrum defaults to the BUNDLED measured emission tables
+    (round-4 review item 6), agrees with the clsim file-loading path on a
+    round-tripped table, and the legacy Gaussian stand-in stays available.
+    Reference: GetIceCubeFlasherSpectrum.py:38-60,
+    resources/flasher_data/flasher_led_*nm_*.txt."""
+    import os
+    import tempfile
+
+    from clsim_tpu.sources.flasher import led_spectrum
+    from clsim_tpu.sources.flasher_data import LED_SPECTRA, LED_340NM
+
+    # every LED's default sampling table spans its bundled table's support
+    for nm, tab in LED_SPECTRA.items():
+        spec = led_spectrum(nm)
+        assert float(spec.x[0]) == pytest.approx(tab[0, 0])
+        assert float(spec.x[-1]) == pytest.approx(tab[-1, 0])
+
+    # the 340 nm LED is non-Gaussian: the measured table peaks at 335 nm
+    # (UVTOP335 + U340 filter), so the inverse-CDF median sits BELOW the
+    # 340 nm the Gaussian stand-in centers on
+    s_meas = led_spectrum(340)
+    s_gaus = led_spectrum(340, gaussian_approx=True)
+    assert LED_340NM[np.argmax(LED_340NM[:, 1]), 0] == 335.0
+    mode_meas = float(np.asarray(s_meas.x)[np.argmax(np.asarray(s_meas.beta))])
+    mode_gaus = float(np.asarray(s_gaus.x)[np.argmax(np.asarray(s_gaus.beta))])
+    assert mode_meas == 335.0
+    assert abs(mode_gaus - 340.0) < 1.0
+    # and the medians differ materially (skewed red tail vs symmetric)
+    med_meas = float(np.interp(0.5, np.asarray(s_meas.acu),
+                               np.asarray(s_meas.x)))
+    med_gaus = float(np.interp(0.5, np.asarray(s_gaus.acu),
+                               np.asarray(s_gaus.x)))
+    assert abs(med_meas - med_gaus) > 1.0
+
+    # file-loading path: round-trip the bundled table through a clsim-style
+    # text file and compare the resulting sampling tables exactly
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "flasher_led_340nm_emission_spectrum.txt")
+        np.savetxt(path, LED_340NM)
+        s_file = led_spectrum(340, flasher_data_dir=d)
+    for f in s_meas._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_meas, f), np.float64),
+            np.asarray(getattr(s_file, f), np.float64), rtol=1e-6,
+            err_msg=f)
+
+
 def test_simulate_hits_mcpe(setup):
     medium, geo = setup
     sim = Simulation(medium=medium, geometry=geo,

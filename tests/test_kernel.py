@@ -378,7 +378,8 @@ def test_kernel_nonuniform_z_geometry():
     # rightly REJECTS the subdetector split here -- the legacy global plan
     # serves this geometry (see test_kernel_subdet_split_matches_engine
     # for the accepted-split case)
-    assert FK._subdet_plans(geo, cfg) is None
+    sub, reason = FK._subdet_plans(geo, cfg)
+    assert sub is None and "parity budget" in reason
 
     state, acc = _run_engine_with_uniforms(steps, medium, geo, spectra, cfg,
                                            uniforms)
@@ -659,7 +660,7 @@ def test_kernel_subdet_split_matches_engine():
         zs.append(40.0 - d * 7.0)
     geo = build_geometry(sids, oids, xs, ys, zs, oversize=8.0)
 
-    sub = FK._subdet_plans(geo, cfg)
+    sub, _ = FK._subdet_plans(geo, cfg)
     assert sub is not None and len(sub[1]) == 2
     assert {p.uz_dz for p in sub[1]} == {-15.0, -7.0}
     by_dz = {p.uz_dz: p for p in sub[1]}
@@ -682,6 +683,92 @@ def test_kernel_subdet_split_matches_engine():
     l1 = np.abs(np.asarray(res.hist, np.float64)
                 - np.asarray(res_l.hist, np.float64)).sum()
     assert l1 <= 2e-3 * float(np.asarray(res.hist).sum()) + 1e-6
+
+
+def test_kernel_three_group_split_matches_engine():
+    """Gen2-ish stress geometry (round-4 review item 7): wide main hex +
+    dense DeepCore-style infill + sparse shallow veto ring = THREE
+    (z0, dz, nd) groups, each with a statically-proven single test round
+    -- three SubPlans whose fused result must match the engine on a shared
+    uniform stream (reference: <=9 subdetectors,
+    sparse_collision_kernel.c.cl:305-460)."""
+    import math
+
+    from clsim_tpu.geometry import build_geometry
+
+    medium, geo0, spectra, cfg, steps, uniforms = _workload(seed=29)
+    cfg = dataclasses.replace(cfg, max_segment_m=40.0, strings_per_photon=3)
+
+    sids, oids, xs, ys, zs = [], [], [], [], []
+
+    def add_string(si, px, py, z0, dz, nd):
+        for d in range(nd):
+            sids.append(si)
+            oids.append(d)
+            xs.append(px)
+            ys.append(py)
+            zs.append(z0 - d * dz)
+
+    # main: 7 wide hex strings (150 m spacing > seg + reaches => 1 round)
+    pos = [(0.0, 0.0)] + [(150.0 * math.cos(a), 150.0 * math.sin(a))
+                          for a in np.linspace(0, 2 * np.pi, 7)[:-1]]
+    for si, (px, py) in enumerate(pos):
+        add_string(si, px, py, 80.0, 15.0, 12)
+    # DeepCore-style infill: one dense 7 m ladder
+    add_string(len(pos), 20.0, 15.0, 40.0, 7.0, 30)
+    # sparse shallow veto ring: 4 strings at 400 m radius, 25 m spacing
+    for k in range(4):
+        a = k * np.pi / 2 + 0.4
+        add_string(len(pos) + 1 + k, 400.0 * math.cos(a),
+                   400.0 * math.sin(a), 60.0, 25.0, 6)
+    geo = build_geometry(sids, oids, xs, ys, zs, oversize=8.0)
+
+    sub, _ = FK._subdet_plans(geo, cfg)
+    assert sub is not None and len(sub[1]) == 3
+    assert all(p.rounds == 1 for p in sub[1])
+    assert {p.uz_dz for p in sub[1]} == {-15.0, -7.0, -25.0}
+
+    state, acc = _run_engine_with_uniforms(steps, medium, geo, spectra, cfg,
+                                           uniforms)
+    res, totals = _run_kernel(steps, medium, geo, spectra, cfg, uniforms)
+    _compare(acc, res, totals, geo, cfg)
+
+
+def test_subplan_fallback_warns_and_counts():
+    """A geometry exceeding the 4-SubPlan budget must fall back to the
+    global plan LOUDLY: a UserWarning naming the reason and a bump of the
+    SUBPLAN_FALLBACKS counter (round-4 review Weak #6 -- the perf cliff
+    must be observable, not silent)."""
+    import warnings
+
+    from clsim_tpu.geometry import build_geometry
+
+    cfg = PropagationConfig(n_slots=256, max_segment_m=40.0)
+    sids, oids, xs, ys, zs = [], [], [], [], []
+    # 5 distinct (z0, dz, nd) groups > 4-SubPlan budget
+    for si in range(5):
+        for d in range(6 + si):
+            sids.append(si)
+            oids.append(d)
+            xs.append(200.0 * si)
+            ys.append(0.0)
+            zs.append(50.0 + 5.0 * si - d * (10.0 + si))
+    geo = build_geometry(sids, oids, xs, ys, zs, oversize=8.0)
+
+    before = FK.SUBPLAN_FALLBACKS["count"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cell_tab, plan = FK.plan_collision(geo, cfg)
+    assert "sub_plans" not in plan
+    assert FK.SUBPLAN_FALLBACKS["count"] == before + 1
+    assert "SubPlan budget" in str(FK.SUBPLAN_FALLBACKS["reason"])
+    assert any("global collision plan" in str(x.message) for x in w)
+    # ablation-forced fallbacks stay silent (intentional)
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        FK.plan_collision(geo, cfg, ablate="nosubdet")
+    assert not any("collision" in str(x.message) for x in w2)
+    assert FK.SUBPLAN_FALLBACKS["count"] == before + 1
 
 
 def test_kernel_threefry_bit_exact():

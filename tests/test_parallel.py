@@ -148,6 +148,69 @@ def test_sharded_fused_matches_engine_shared_stream(mesh):
     assert totals[FK.CNT_DROPPED] == 0.0
 
 
+def test_api_simulation_mesh_serves_fused(mesh):
+    """The product entry point `Simulation(mesh=...)` serves the FUSED
+    kernel when the configuration supports it (round-4 review Weak #2 /
+    Next #1): medium/geo/spectra are passed through at build time so
+    `make_sharded_propagate` can select the fused path, exactly as the
+    reference's scale-out serves the compiled OpenCL converters
+    (I3CLSimServer.cxx:163-370).  On CPU without interpret mode the same
+    entry point records WHY it fell back."""
+    from clsim_tpu.api import Simulation
+    medium = make_homogeneous_ice(b400=0.04, a_dust400=0.006)
+    geo = single_string_geometry(n_doms=8, spacing=17.0, x=20.0,
+                                 z_top=60.0, oversize=5.0)
+    cfg = PropagationConfig(n_slots=128)
+    sim = Simulation(medium=medium, geometry=geo, config=cfg, mesh=mesh,
+                     interpret=True)
+    assert sim._propagate.backend == "fused"
+    assert sim._propagate.backend_reason is None
+    sim_e = Simulation(medium=medium, geometry=geo, config=cfg, mesh=mesh)
+    assert sim_e._propagate.backend == "engine"
+    assert "TPU" in sim_e._propagate.backend_reason
+
+
+def test_api_simulation_mesh_fused_parity(mesh):
+    """The sharded fused propagate CONSTRUCTED BY `Simulation(mesh=...)`
+    (the product wiring: config/medium/geo passed through __init__) must
+    match the engine's histograms on a shared uniform stream -- the
+    histogram-parity check the round-4 review asked for on the product
+    path.  Uniform-parity mode because the fused kernel's hardware PRNG
+    (pltpu.prng_seed) has no CPU interpret lowering."""
+    import dataclasses
+
+    from clsim_tpu.api import Simulation
+    from clsim_tpu.propagate import kernel as FK
+    from tests.test_kernel import (N, T, _run_engine_with_uniforms,
+                                   _workload)
+
+    medium, geo, _, cfg, steps, uniforms = _workload()
+    cfg_s = dataclasses.replace(cfg, n_slots=N // 8)
+    sim = Simulation(medium=medium, geometry=geo, config=cfg_s, mesh=mesh,
+                     interpret=True, unweighted_photons=True,
+                     fused_opts=dict(with_uniforms=True, iters_per_call=T,
+                                     flush_every=1, queue_rows=32))
+    run = sim._propagate
+    assert run.backend == "fused"
+    spectra = sim.spectra  # the spectra the product wiring built
+
+    _, acc_e = _run_engine_with_uniforms(steps, medium, geo, spectra, cfg,
+                                         uniforms)
+    res = run(shard_steps(steps, mesh), medium, geo, spectra,
+              jnp.asarray([0, 1], jnp.uint32), run.layout_uniforms(uniforms))
+
+    he = np.asarray(acc_e.hist, np.float64)
+    hk = np.asarray(res.hist, np.float64).reshape(-1)
+    assert float(res.n_generated) == float(acc_e.n_generated)
+    nh_e, nh_k = float(acc_e.n_hits), float(res.n_hits)
+    assert abs(nh_e - nh_k) <= max(2.0, 0.01 * nh_e), (nh_e, nh_k)
+    assert nh_e > 20, "workload produced too few hits to be meaningful"
+    l1 = np.abs(he - hk).sum()
+    assert l1 <= 2e-3 * he.sum() + 1e-6, (l1, he.sum())
+    totals = np.asarray(res.diag_totals, np.float64)
+    assert totals[FK.CNT_DROPPED] == 0.0
+
+
 def test_sharded_auto_backend_reports_fallback(mesh):
     """backend='auto' without build-time geometry serves the engine and says
     so; with geometry on CPU (no TPU, no interpret) it also falls back."""
