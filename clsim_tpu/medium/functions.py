@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -116,10 +117,13 @@ class RefIndexParams(NamedTuple):
 
 # default coefficients for deep South Pole ice
 # (reference private/clsim/function/I3CLSimFunctionRefIndexIceCube.cxx defaults,
-#  the standard "SPICE" dispersion parameterization)
+#  the standard "SPICE" dispersion parameterization).
+# numpy, NOT jnp: module-scope device arrays would initialize the XLA
+# backend at `import clsim_tpu`, which breaks jax.distributed.initialize
+# on a multi-host pod (it must run before any backend touch)
 DEFAULT_ICE_REF_INDEX = RefIndexParams(
-    n=jnp.array([1.55749, -1.57988, 3.99993, -4.68271, 2.09354]),
-    g=jnp.array([1.227106, -0.954648, 1.42568, -0.711832, 0.0]),
+    n=np.array([1.55749, -1.57988, 3.99993, -4.68271, 2.09354], np.float32),
+    g=np.array([1.227106, -0.954648, 1.42568, -0.711832, 0.0], np.float32),
 )
 
 

@@ -207,7 +207,8 @@ class IceFit:
                  max_iterations: int = 64, forward: str = "engine",
                  interpret: bool = False,
                  score_function: Optional[bool] = None,
-                 bwd_fraction: float = 1.0):
+                 bwd_fraction: float = 1.0,
+                 optimizer=None, param_transform=None):
         """forward='fused' routes the loss's forward pass through the fused
         Pallas expected-estimator kernel (propagate/diff.py) -- the engine
         serves only the VJP.  `interpret` runs the kernel in interpreter
@@ -221,7 +222,15 @@ class IceFit:
         scattering parameters emits a loud warning (the detached estimator
         has the wrong sign there).  `bwd_fraction < 1` runs the engine-AD
         backward on a RANDOM slot subsample (unbiased minibatch gradient,
-        diff.py) -- fit-step cost approaches one fused forward."""
+        diff.py) -- fit-step cost approaches one fused forward.
+
+        `optimizer`: None for plain SGD with `learning_rate`, or any optax
+        GradientTransformation (e.g. optax.adam(1e-2)); its state is
+        carried across step() calls.  `param_transform`: optional
+        jit-traceable callable mapping the fit-parameter dict to
+        MediumProperties field overrides -- fit in log-space, fit a layer
+        band with the rest pinned to a reference, or build compound fields
+        (e.g. an AnisotropyParams from a scalar)."""
         self.mesh = mesh
         self.axis = axis
         self.max_iterations = max_iterations
@@ -237,6 +246,9 @@ class IceFit:
         self.forward = forward
         self.interpret = interpret
         self.bwd_fraction = bwd_fraction
+        self.optimizer = optimizer
+        self.param_transform = param_transform
+        self._opt_state = None
         # built lazily on the first step(), once fit_params is known, so
         # score_function=None can resolve against the actual parameter set
         self._step = None if score_function is None else self._build()
@@ -252,8 +264,11 @@ class IceFit:
         interpret = self.interpret
         bwd_fraction = self.bwd_fraction
 
+        transform = self.param_transform or (lambda p: p)
+        opt = self.optimizer
+
         def loss_fn(fit_params, medium, steps, key, target_hist):
-            medium = medium._replace(**fit_params)
+            medium = medium._replace(**transform(fit_params))
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
             if forward == "fused":
                 from ..propagate.diff import propagate_expected_diff
@@ -270,25 +285,49 @@ class IceFit:
             scale = jnp.maximum(jnp.sum(target_hist), 1.0)
             return jnp.sum((hist - target_hist) ** 2) / scale
 
-        def shard_body(fit_params, medium, steps, key, target_hist):
+        if opt is None:
+            def shard_body(fit_params, medium, steps, key, target_hist):
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    fit_params, medium, steps, key, target_hist)
+                # grads of replicated params are already psum-ed by the
+                # shard_map transpose; plain SGD update
+                new_params = jax.tree.map(lambda p, g: p - lr * g,
+                                          fit_params, grads)
+                return new_params, loss
+
+            sharded = jax.shard_map(
+                shard_body, mesh=self.mesh,
+                in_specs=(P(), P(), P(axis), P(), P()),
+                out_specs=(P(), P()), check_vma=False)
+            return jax.jit(sharded)
+
+        import optax
+
+        def shard_body_opt(fit_params, opt_state, medium, steps, key,
+                           target_hist):
             loss, grads = jax.value_and_grad(loss_fn)(
                 fit_params, medium, steps, key, target_hist)
-            # grads of replicated params are already psum-ed by the shard_map
-            # transpose; plain SGD update (swap in optax upstream if desired)
-            new_params = jax.tree.map(lambda p, g: p - lr * g, fit_params, grads)
-            return new_params, loss
+            updates, new_state = opt.update(grads, opt_state, fit_params)
+            return optax.apply_updates(fit_params, updates), new_state, loss
 
         sharded = jax.shard_map(
-            shard_body, mesh=self.mesh,
-            in_specs=(P(), P(), P(axis), P(), P()),
-            out_specs=(P(), P()), check_vma=False)
+            shard_body_opt, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(axis), P(), P()),
+            out_specs=(P(), P(), P()), check_vma=False)
         return jax.jit(sharded)
 
     def step(self, fit_params: dict, medium: MediumProperties,
              steps: StepBatch, key, target_hist):
-        """One SGD step; fit_params is a dict of MediumProperties field
-        overrides (e.g. {'b400': ..., 'a_dust400': ...})."""
-        scat = self.SCATTERING_FIT_PARAMS & set(fit_params)
+        """One optimizer step; fit_params is a dict of MediumProperties
+        field overrides (e.g. {'b400': ..., 'a_dust400': ...}), or -- with
+        `param_transform` -- whatever the transform maps to overrides."""
+        try:
+            eff = self.param_transform(fit_params) \
+                if self.param_transform else fit_params
+            eff_keys = set(eff)
+        except Exception:
+            eff_keys = set(fit_params)
+        scat = self.SCATTERING_FIT_PARAMS & eff_keys
         if self._step is None:
             # score_function=None: resolve against the actual fit params
             use_sf = bool(scat)
@@ -307,6 +346,14 @@ class IceFit:
                 "benchmark, test_diff.py) -- pass score_function=True or "
                 "leave it None for auto-selection", UserWarning,
                 stacklevel=2)
+        if self.optimizer is not None:
+            import jax.numpy as _jnp
+            if self._opt_state is None:
+                self._opt_state = self.optimizer.init(
+                    jax.tree.map(_jnp.asarray, fit_params))
+            new_params, self._opt_state, loss = self._step(
+                fit_params, self._opt_state, medium, steps, key, target_hist)
+            return new_params, loss
         return self._step(fit_params, medium, steps, key, target_hist)
 
 

@@ -50,6 +50,7 @@ SLOW_TESTS = {
     "test_sharded_propagate_conserves_counts",
     "test_sharded_fused_matches_engine_shared_stream",
     "test_api_simulation_mesh_fused_parity",
+    "test_bootstrap_two_process_psum",
     # tests/test_engine.py
     "test_gradient_matches_finite_difference",
     "test_expected_estimator_folds_angular_acceptance",

@@ -2,6 +2,8 @@
 forces xla_force_host_platform_device_count=8), mirroring the reference's
 no-GPU distributed test strategy (resources/tests/testCLSimServer.py)."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -88,6 +90,41 @@ def test_ice_fit_step_descends(mesh):
     assert float(params1["a_dust400"][0]) < 0.013
 
 
+def test_ice_fit_optax_and_transform(mesh):
+    """IceFit with an optax optimizer (state carried across steps) and a
+    log-space param_transform descends toward the target and moves the
+    transformed parameter the right way (the production fit configuration
+    of scripts/fit_demo.py)."""
+    import optax
+
+    geo = _one_dom_geometry(x=30.0, oversize=5.0)
+    spectra = _spectra()
+    cfg = PropagationConfig(n_slots=32, estimator="expected",
+                            soft_binning=True)
+    steps = shard_steps(_beam_steps(32 * 8, 8), mesh)
+    key = jnp.asarray([0, 31], jnp.uint32)
+
+    medium = make_homogeneous_ice(b400=0.02, a_dust400=0.01)
+    run = make_sharded_propagate(mesh, cfg)
+    target = run(steps, medium, geo, spectra, key).hist
+
+    def tf(p):
+        return {"a_dust400": jnp.exp(p["log_a"])}
+
+    fit = IceFit(mesh, cfg, geo, spectra, max_iterations=48,
+                 optimizer=optax.adam(0.05), param_transform=tf)
+    params = {"log_a": jnp.full(2, np.log(0.013), jnp.float32)}
+    losses = []
+    for _ in range(3):
+        params, loss = fit.step(params, medium, steps, key, target)
+        params = jax.tree.map(jnp.asarray, params)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    # moved toward the target value 0.01 (and stayed positive by
+    # construction of the log transform)
+    assert float(jnp.exp(params["log_a"][0])) < 0.013
+
+
 def test_bootstrap_single_process_noop(monkeypatch):
     """initialize_distributed is a harmless no-op outside a cluster; the
     per-process step slice covers the global batch exactly once."""
@@ -107,6 +144,75 @@ def test_bootstrap_single_process_noop(monkeypatch):
     monkeypatch.undo()
     mesh = bootstrap.global_photon_mesh()
     assert mesh.devices.size == len(jax.devices())
+
+
+def test_import_does_not_initialize_backend():
+    """`import clsim_tpu` must not touch the XLA backend: on a real pod,
+    jax.distributed.initialize has to run BEFORE any backend-initializing
+    call, so module-scope device arrays anywhere in the package would make
+    multi-host bootstrap impossible (found via the 2-process test below:
+    DEFAULT_ICE_REF_INDEX used to be a module-scope jnp array)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from jax._src import xla_bridge;"
+        "import clsim_tpu; import clsim_tpu.parallel.bootstrap;"
+        "assert not xla_bridge._backends, 'import initialized XLA backend'")
+    r = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                       capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+
+def test_bootstrap_two_process_psum(tmp_path):
+    """REAL multi-process distributed run (round-4 review item 5): two
+    subprocess CPU workers (2 local devices each) wire themselves into one
+    4-device JAX runtime through bootstrap.initialize_distributed's MAIN
+    branch, each feeds only its process_step_slice of the global step
+    batch, and the cross-process psum'd histogram must equal a
+    single-process 4-device run of the identical workload.  The analog of
+    the reference proving its client/server layer with real processes
+    (resources/tests/testCLSimServer.py:26-42)."""
+    import socket
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device counts
+    for v in ("COORDINATOR_ADDRESS", "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+              "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+        env.pop(v, None)  # the truth run must take the single-process branch
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    out_dist = str(tmp_path / "dist.npz")
+    out_truth = str(tmp_path / "truth.npz")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(rank), out_dist],
+        env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for rank in (0, 1)]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    truth = subprocess.run(
+        [sys.executable, worker, str(port), "-1", out_truth],
+        env=env, cwd=repo, capture_output=True, timeout=600)
+    assert truth.returncode == 0, truth.stdout[-3000:] + truth.stderr[-2000:]
+
+    d = np.load(out_dist)
+    t = np.load(out_truth)
+    assert int(d["process_count"]) == 2 and int(t["process_count"]) == 1
+    assert d["n_generated"] == t["n_generated"]
+    assert d["n_hits"] == t["n_hits"], (d["n_hits"], t["n_hits"])
+    assert d["n_hits"] > 20, "workload produced too few hits"
+    np.testing.assert_allclose(d["hist"], t["hist"], rtol=1e-5, atol=1e-6)
 
 
 def test_sharded_fused_matches_engine_shared_stream(mesh):
