@@ -137,6 +137,22 @@ def shifted_window_table(values, k_radius):
     return values[idx]
 
 
+def directional_window_table(values, k_radius):
+    """(L+K, K+1) matrix W with W[c, k] = values[clip(c - K + k)]: column
+    c holds the ASCENDING (K+1)-layer band starting at base layer c - K.
+
+    A walk that visits at most K+1 layers in ONE direction only needs this
+    half-window: one-hot column j0+K for an upward photon (band j0..j0+K)
+    or j0 for a downward one (band j0-K..j0, reversed in visit order by a
+    static row reindex).  Half the fetched rows of the symmetric 2K+1
+    window -- the walk fetch is the kernel's largest single MXU cost."""
+    L = values.shape[0]
+    base = jnp.arange(L + k_radius) - k_radius
+    idx = jnp.clip(base[:, None] + jnp.arange(k_radius + 1)[None, :],
+                   0, L - 1)
+    return values[idx]
+
+
 def compact_scatter_add(target, flat_idx, weights, capacity,
                         fallback_full=True):
     """target.at[flat_idx].add(weights) where most weights are zero.

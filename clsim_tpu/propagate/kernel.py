@@ -59,7 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import C_LIGHT
 from ..geometry import DetectorGeometry
 from ..medium.properties import MediumProperties
-from ..ops.lookup import compact_scatter_add, shifted_window_table
+from ..ops.lookup import compact_scatter_add, directional_window_table
 from ..ops.spectrum import SpectrumTable
 from ..types import PropagationConfig, StepBatch
 from .engine import PropagationResult
@@ -405,7 +405,7 @@ def _make_kernel(spec: FusedSpec):
     """Build the kernel body for a static spec."""
     T = spec.iters_per_call
     K = spec.K
-    W = 2 * K + 1
+    W = K + 1           # directional walk band rows per feature
     BLK = spec.block_lanes
     RB = BLK // LANES
     Spad, Mpad = spec.Spad, spec.Mpad
@@ -1010,7 +1010,16 @@ def _make_kernel(spec: FusedSpec):
             j0f = jnp.floor((z_eff - pf(PF_Z_START)) / hL)
             j0 = jnp.clip(j0f, 0.0, float(spec.L - 1))
 
-            oh_w = (iota_L == flat(j0).astype(jnp.int32)).astype(jnp.bfloat16)
+            going_up = dz >= 0.0
+            # directional band: column j0+K holds layers j0..j0+K (up),
+            # column j0 holds layers j0-K..j0 (down; reversed to visit
+            # order by the static row reindex below) -- half the fetched
+            # rows of the old symmetric 2K+1 window
+            # (bool reshapes don't lower on Mosaic -- fold the direction
+            # offset in f32 before flattening)
+            oh_col = flat(j0 + jnp.where(going_up, float(K), 0.0)) \
+                .astype(jnp.int32)
+            oh_w = (iota_L == oh_col).astype(jnp.bfloat16)
             win = _fetch(walk_splits, oh_w, spec.splits)     # (3Wp, BLK)
             win3 = win.reshape(win.shape[0], RB, LANES)
             if "nowalkfetch" in ablate:  # probe: one-hot+fetch become dead
@@ -1019,7 +1028,6 @@ def _make_kernel(spec: FusedSpec):
             # per-photon optical coefficients were computed at spawn
             gs, pa, qa, ra = gsv, pav, qav, rav
 
-            going_up = dz >= 0.0
             abs_dz = jnp.abs(dz)
             vertical = abs_dz < EPSILON
             boundary_z = pf(PF_Z_START) + j0 * hL \
@@ -1048,11 +1056,11 @@ def _make_kernel(spec: FusedSpec):
                     [win3[lo + K - k:lo + K - k + 1] for k in range(Kp1)],
                     axis=0)
 
-            b_dir = jnp.where(up_m, st2(win3[K:2 * K + 1]),
+            b_dir = jnp.where(up_m, st2(win3[0:K + 1]),
                               st2(rev_rows(0)))
-            a_dir = jnp.where(up_m, st2(win3[W + K:W + 2 * K + 1]),
+            a_dir = jnp.where(up_m, st2(win3[W:W + K + 1]),
                               st2(rev_rows(W)))
-            dt_dir = jnp.where(up_m, st2(win3[2 * W + K:2 * W + 2 * K + 1]),
+            dt_dir = jnp.where(up_m, st2(win3[2 * W:2 * W + K + 1]),
                                st2(rev_rows(2 * W)))
             inv_s_all = rep(gs) * b_dir
             inv_a_all = rep(pa) * a_dir + rep(qa) + rep(ra) * dt_dir
@@ -2123,7 +2131,7 @@ def _build_spec(medium, geo: DetectorGeometry, spectra, cfg,
                              queue_rows)),
         K=K,
         L=medium.n_layers,
-        Lpad=-(-medium.n_layers // 8) * 8,
+        Lpad=-(-(medium.n_layers + K) // 8) * 8,
         Spad=-(-S // 8) * 8,
         Mpad=-(-M // 8) * 8,
         n_spec=int(np.shape(spectra.x)[1]),
@@ -2180,10 +2188,14 @@ def _build_tables(spec: FusedSpec, medium: MediumProperties,
                   cfg: PropagationConfig):
     """Device-side (traced) table construction; runs inside the jit."""
     K = spec.K
-    # walk window: (L, 3(2K+1)) -> transposed (3(2K+1)pad, Lpad)
-    Wb = shifted_window_table(medium.b400, K)
-    Wa = shifted_window_table(medium.a_dust400, K)
-    Wt = shifted_window_table(medium.delta_tau, K)
+    # directional walk window: (L+K, 3(K+1)) -> transposed
+    # (3(K+1)pad, Lpad=pad(L+K)); column j0+K (up) / j0 (down) holds the
+    # photon's ascending (K+1)-layer band -- HALF the fetched rows of the
+    # old symmetric 2K+1 window (the fetch was the kernel's largest
+    # single MXU cost, ~46 us/iter of the ~110 us walk stage)
+    Wb = directional_window_table(medium.b400, K)
+    Wa = directional_window_table(medium.a_dust400, K)
+    Wt = directional_window_table(medium.delta_tau, K)
     walk = _pad2(jnp.concatenate([Wb, Wa, Wt], axis=1).T, fill=1e-3)
 
     if spec.nz_tilt:
@@ -2371,7 +2383,7 @@ def _make_call(spec: FusedSpec):
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),            # pf
         pl.BlockSpec(memory_space=pltpu.SMEM),            # seed
-        fixed((pad8(3 * (2 * spec.K + 1)), spec.Lpad)),   # walk
+        fixed((pad8(3 * (spec.K + 1)), spec.Lpad)),       # walk
         fixed(tilt_shape),                                # tilt
         fixed((spec.n_tables * pad8(spec.n_spec), 4)),    # acu
         fixed((8, spec.n_tables * pad8(spec.n_spec))),    # co

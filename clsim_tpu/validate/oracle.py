@@ -367,6 +367,7 @@ def oracle_propagate(steps, medium, geo, spectrum_xy, bias_xy, cfg, rng,
     n_hits = 0
     w_sum = 0.0
     hit_weights = []
+    hit_bins = []
 
     max_gen = 100000
     for _gen in range(max_gen):
@@ -413,6 +414,7 @@ def oracle_propagate(steps, medium, geo, spectrum_xy, bias_xy, cfg, rng,
         w_sum += float(w0[idx][hit].sum())
         if collect_weights:
             hit_weights.append(w0[idx][hit])
+            hit_bins.append(flat[hit])
 
         d_adv = np.where(hit, hit_dist, d_prop)
         x[idx] += dxa * d_adv
@@ -446,7 +448,9 @@ def oracle_propagate(steps, medium, geo, spectrum_xy, bias_xy, cfg, rng,
     if collect_weights:
         w = (np.concatenate(hit_weights) if hit_weights
              else np.zeros(0))
-        return hist.reshape(len(dom_x), n_bins), n_hits, w_sum, w
+        fb = (np.concatenate(hit_bins) if hit_bins
+              else np.zeros(0, np.int64))
+        return hist.reshape(len(dom_x), n_bins), n_hits, w_sum, w, fb
     return hist.reshape(len(dom_x), n_bins), n_hits, w_sum
 
 

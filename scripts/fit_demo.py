@@ -1,0 +1,257 @@
+"""End-to-end ice-model recovery fit on the TPU fused path (round-4 review
+item 3): take the parsed spice_lea model, perturb per-layer b400 /
+a_dust400 inside the instrumented depth band and the anisotropy k1
+(log-magnitude mag_along), generate a synthetic target on the fused
+expected-estimator forward at TRUTH parameters, and fit the perturbed
+model back with IceFit(forward='fused', score_function=True) + optax adam
+in log-parameter space.  Also runs the same fit with the DETACHED
+estimator (score_function=False) to demonstrate why the score term is the
+default for scattering fits.
+
+This is the BASELINE differentiability north star as a deliverable: the
+reference (clsim) has no gradients at all; ice models there are fitted by
+grid-searching forward simulations against flasher data.
+
+Outputs one npz (FIT_OUT, default /tmp/fit_demo.npz) with parameter/loss
+traces + wall-clock, consumed by FIT.md.
+
+Env knobs: FIT_SLOTS (32768), FIT_ITERS (48), FIT_STEPS (300),
+FIT_STEPS_DETACHED (120), FIT_TARGET_AVG (16), FIT_LR (0.02),
+FIT_BWD_FRACTION (1.0), FIT_INTERPRET (0; 1 = CPU interpret smoke run).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+INTERPRET = os.environ.get("FIT_INTERPRET", "0") == "1"
+
+import jax  # noqa: E402
+
+if INTERPRET:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from clsim_tpu.geometry import hexagonal_geometry  # noqa: E402
+from clsim_tpu.hits.acceptance import icecube_dom_acceptance  # noqa: E402
+from clsim_tpu.medium.functions import DEFAULT_ICE_REF_INDEX  # noqa: E402
+from clsim_tpu.medium.ice_parser import parse_ppc_ice_model  # noqa: E402
+from clsim_tpu.ops.spectrum import (make_cherenkov_spectrum,  # noqa: E402
+                                    stack_spectra)
+from clsim_tpu.parallel.mesh import IceFit, make_mesh, shard_steps  # noqa: E402
+from clsim_tpu.propagate.diff import propagate_expected_diff  # noqa: E402
+from clsim_tpu.types import PropagationConfig, StepBatch  # noqa: E402
+
+
+def sync(x):
+    return float(jnp.sum(x))
+
+
+def build(n_slots):
+    medium, _ = parse_ppc_ice_model("/root/reference/resources/ice/spice_lea")
+    geo = hexagonal_geometry(n_rings=2, string_spacing=125.0,
+                             doms_per_string=60, dom_spacing=17.0,
+                             z_top=500.0, oversize=5.0)
+    acc = icecube_dom_acceptance(dom_radius=geo.om_radius * geo.oversize,
+                                 efficiency=1.0)
+    nb = np.asarray(acc.values).shape[0]
+    bias_x = float(acc.first_x) + float(acc.dx) * np.arange(nb)
+    spectra = stack_spectra([make_cherenkov_spectrum(
+        DEFAULT_ICE_REF_INDEX, medium.min_wlen, medium.max_wlen,
+        bias_wlen_nm=bias_x, bias_values=np.asarray(acc.values))])
+    cfg = PropagationConfig(n_slots=n_slots, estimator="expected",
+                            soft_binning=True, fixed_abs_lens=8.0,
+                            pancake_factor=5.0, hist_t_min=0.0,
+                            hist_t_max=3000.0, hist_n_bins=128,
+                            max_layer_steps=4, max_segment_m=35.0)
+
+    # light sources spread through the instrumented volume: isotropic
+    # emission points, z in [-450, 450], xy within the string footprint
+    rr = np.random.default_rng(4242)
+    n = n_slots
+    costh = rr.uniform(-1, 1, n)
+    sinth = np.sqrt(1 - costh ** 2)
+    phi = rr.uniform(0, 2 * np.pi, n)
+    r_xy = 220.0 * np.sqrt(rr.random(n))
+    a_xy = rr.uniform(0, 2 * np.pi, n)
+    steps = StepBatch(
+        x=(r_xy * np.cos(a_xy)).astype(np.float32),
+        y=(r_xy * np.sin(a_xy)).astype(np.float32),
+        z=rr.uniform(-450.0, 450.0, n).astype(np.float32),
+        t=np.zeros(n, np.float32),
+        dir_x=(sinth * np.cos(phi)).astype(np.float32),
+        dir_y=(sinth * np.sin(phi)).astype(np.float32),
+        dir_z=costh.astype(np.float32),
+        length=np.full(n, 1e-3, np.float32),
+        beta=np.ones(n, np.float32),
+        num_photons=np.ones(n, np.int32),
+        weight=np.ones(n, np.float32),
+        identifier=np.zeros(n, np.int32),
+        source_type=np.zeros(n, np.int32))
+    return medium, geo, spectra, cfg, steps
+
+
+def main():
+    n_slots = int(os.environ.get("FIT_SLOTS", 512 if INTERPRET else 32768))
+    T = int(os.environ.get("FIT_ITERS", 8 if INTERPRET else 48))
+    n_steps = int(os.environ.get("FIT_STEPS", 6 if INTERPRET else 300))
+    n_steps_det = int(os.environ.get("FIT_STEPS_DETACHED",
+                                     3 if INTERPRET else 120))
+    n_target = int(os.environ.get("FIT_TARGET_AVG", 2 if INTERPRET else 16))
+    lr = float(os.environ.get("FIT_LR", 0.02))
+    bwd_fraction = float(os.environ.get("FIT_BWD_FRACTION", 1.0))
+    out_path = os.environ.get("FIT_OUT", "/tmp/fit_demo.npz")
+
+    on_cpu = jax.devices()[0].platform == "cpu"
+    cpu0 = jax.devices("cpu")[0] if not on_cpu else None
+
+    if cpu0 is not None:
+        with jax.default_device(cpu0):
+            medium, geo, spectra, cfg, steps = build(n_slots)
+    else:
+        medium, geo, spectra, cfg, steps = build(n_slots)
+
+    nl = medium.n_layers
+    z0 = float(np.asarray(medium.layers_z_start))
+    dz = float(np.asarray(medium.layer_height))
+    # instrumented band: layers whose centers lie in [-350, 350]
+    centers = z0 + (np.arange(nl) + 0.5) * dz
+    band = np.where((centers > -350.0) & (centers < 350.0))[0]
+    lo, hi = int(band[0]), int(band[-1]) + 1
+    if INTERPRET:
+        lo, hi = lo + 25, lo + 29   # tiny band for the smoke run
+    print(f"layers {nl}, fit band [{lo},{hi}) = {hi-lo} layers, "
+          f"slots {n_slots}, T {T}, steps {n_steps}", flush=True)
+
+    b_true = np.asarray(medium.b400, np.float64)
+    a_true = np.asarray(medium.a_dust400, np.float64)
+    k1_true = float(np.asarray(medium.anisotropy.mag_along)) \
+        if medium.anisotropy is not None else 0.0
+    print(f"truth k1(mag_along) = {k1_true:.4f}", flush=True)
+
+    # perturbation: +-20% lognormal per layer inside the band; k1 +0.05
+    pr = np.random.default_rng(99)
+    b_pert = b_true.copy()
+    a_pert = a_true.copy()
+    b_pert[lo:hi] *= np.exp(0.2 * pr.standard_normal(hi - lo))
+    a_pert[lo:hi] *= np.exp(0.2 * pr.standard_normal(hi - lo))
+    k1_pert = k1_true + 0.05
+
+    b_lo = jnp.asarray(b_true[:lo], jnp.float32)
+    b_hi = jnp.asarray(b_true[hi:], jnp.float32)
+    a_lo = jnp.asarray(a_true[:lo], jnp.float32)
+    a_hi = jnp.asarray(a_true[hi:], jnp.float32)
+    aniso_true = medium.anisotropy
+
+    def transform(p):
+        out = {
+            "b400": jnp.concatenate([b_lo, jnp.exp(p["log_b"]), b_hi]),
+            "a_dust400": jnp.concatenate([a_lo, jnp.exp(p["log_a"]), a_hi]),
+        }
+        if aniso_true is not None:
+            out["anisotropy"] = aniso_true._replace(
+                mag_along=p["k1"].reshape(()))
+        return out
+
+    params0 = {
+        "log_b": jnp.asarray(np.log(b_pert[lo:hi]), jnp.float32),
+        "log_a": jnp.asarray(np.log(a_pert[lo:hi]), jnp.float32),
+    }
+    if aniso_true is not None:
+        params0["k1"] = jnp.asarray(k1_pert, jnp.float32)
+
+    mesh = make_mesh()
+    steps_sharded = shard_steps(steps, mesh)
+    steps_j = StepBatch(*[jnp.asarray(f) for f in steps])
+
+    # ---- synthetic target at TRUTH parameters, fused forward ------------
+    @jax.jit
+    def target_fwd(key):
+        return propagate_expected_diff(
+            steps_j, medium, geo, spectra, key, cfg,
+            n_iterations=T, interpret=INTERPRET)
+
+    t0 = time.perf_counter()
+    tgt = None
+    for i in range(n_target):
+        h = target_fwd(jnp.asarray([7, 1000 + i], jnp.uint32))
+        tgt = h if tgt is None else tgt + h
+    target = tgt / n_target
+    print(f"target built ({n_target} avg) in {time.perf_counter()-t0:.1f}s, "
+          f"sum={sync(target):.1f}", flush=True)
+
+    # ---- the fit --------------------------------------------------------
+    def run_fit(score, steps_n, tag):
+        fit = IceFit(mesh, cfg, geo, spectra, forward="fused",
+                     interpret=INTERPRET, score_function=score,
+                     bwd_fraction=bwd_fraction, max_iterations=T,
+                     optimizer=optax.adam(lr), param_transform=transform)
+        params = {k: jnp.asarray(v) for k, v in params0.items()}
+        losses, traces, times = [], [], []
+        t_start = time.perf_counter()
+        for it in range(steps_n):
+            key = jnp.asarray([13, 5000 + it], jnp.uint32)
+            t1 = time.perf_counter()
+            params, loss = fit.step(params, medium, steps_sharded, key,
+                                    target)
+            params = {k: jnp.asarray(v) for k, v in params.items()}
+            losses.append(float(loss))        # syncs
+            times.append(time.perf_counter() - t1)
+            traces.append({k: np.asarray(v, np.float64)
+                           for k, v in params.items()})
+            if it % 10 == 0 or it == steps_n - 1:
+                k1v = float(params.get("k1", jnp.nan))
+                rms_b = float(np.sqrt(np.mean(
+                    (np.exp(traces[-1]["log_b"]) - b_true[lo:hi]) ** 2
+                    / b_true[lo:hi] ** 2)))
+                print(f"[{tag}] step {it:4d} loss {losses[-1]:.4f} "
+                      f"rel-RMS(b400) {rms_b:.4f} k1 {k1v:.4f} "
+                      f"({times[-1]*1e3:.0f} ms)", flush=True)
+        wall = time.perf_counter() - t_start
+        return params, losses, traces, times, wall
+
+    params_s, loss_s, tr_s, times_s, wall_s = run_fit(True, n_steps, "score")
+    params_d, loss_d, tr_d, times_d, wall_d = run_fit(
+        False, n_steps_det, "detached")
+
+    def pack(traces, key):
+        return np.stack([t[key] for t in traces])
+
+    out = dict(
+        lo=lo, hi=hi, n_slots=n_slots, T=T, lr=lr,
+        bwd_fraction=bwd_fraction, n_target=n_target,
+        b_true=b_true, a_true=a_true, k1_true=k1_true,
+        b_pert=b_pert, a_pert=a_pert, k1_pert=k1_pert,
+        loss_score=np.asarray(loss_s), loss_detached=np.asarray(loss_d),
+        trace_log_b=pack(tr_s, "log_b"), trace_log_a=pack(tr_s, "log_a"),
+        det_trace_log_b=pack(tr_d, "log_b"),
+        det_trace_log_a=pack(tr_d, "log_a"),
+        times_score=np.asarray(times_s), times_detached=np.asarray(times_d),
+        wall_score=wall_s, wall_detached=wall_d)
+    if "k1" in params_s:
+        out["trace_k1"] = pack(tr_s, "k1")
+        out["det_trace_k1"] = pack(tr_d, "k1")
+    np.savez(out_path, **out)
+    print(f"saved {out_path}", flush=True)
+
+    # summary
+    b_fit = np.exp(pack(tr_s, "log_b")[-1])
+    a_fit = np.exp(pack(tr_s, "log_a")[-1])
+    print("rel-RMS b400: pert "
+          f"{np.sqrt(np.mean((b_pert[lo:hi]/b_true[lo:hi]-1)**2)):.4f} -> "
+          f"fit {np.sqrt(np.mean((b_fit/b_true[lo:hi]-1)**2)):.4f}",
+          flush=True)
+    print("rel-RMS a_dust400: pert "
+          f"{np.sqrt(np.mean((a_pert[lo:hi]/a_true[lo:hi]-1)**2)):.4f} -> "
+          f"fit {np.sqrt(np.mean((a_fit/a_true[lo:hi]-1)**2)):.4f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
