@@ -208,7 +208,8 @@ class IceFit:
                  interpret: bool = False,
                  score_function: Optional[bool] = None,
                  bwd_fraction: float = 1.0,
-                 optimizer=None, param_transform=None):
+                 optimizer=None, param_transform=None,
+                 loss: str = "chi2", two_sample: bool = False):
         """forward='fused' routes the loss's forward pass through the fused
         Pallas expected-estimator kernel (propagate/diff.py) -- the engine
         serves only the VJP.  `interpret` runs the kernel in interpreter
@@ -230,7 +231,19 @@ class IceFit:
         jit-traceable callable mapping the fit-parameter dict to
         MediumProperties field overrides -- fit in log-space, fit a layer
         band with the rest pinned to a reference, or build compound fields
-        (e.g. an AnisotropyParams from a scalar)."""
+        (e.g. an AnisotropyParams from a scalar).
+
+        `loss`: 'chi2' (sum (h-t)^2 / sum t) or 'poisson' (per-bin
+        1/(t+1) weights -- approximates the Poisson deviance curvature,
+        so weak absorption-dominated tail bins are not drowned by the
+        scattering-dominated peak).  `two_sample=True` evaluates the
+        residual and the differentiated forward on two INDEPENDENT
+        sub-streams of the step key: the gradient becomes an unbiased
+        estimator of grad ||E[hist] - target||_w^2, removing the
+        Var(hist) penalty term that otherwise biases an
+        expectation-matching fit (fresh keys against an averaged target)
+        away from truth.  The reported loss stays the plain residual of
+        the differentiated sample."""
         self.mesh = mesh
         self.axis = axis
         self.max_iterations = max_iterations
@@ -248,6 +261,10 @@ class IceFit:
         self.bwd_fraction = bwd_fraction
         self.optimizer = optimizer
         self.param_transform = param_transform
+        if loss not in ("chi2", "poisson"):
+            raise ValueError(f"unknown loss {loss!r}")
+        self.loss = loss
+        self.two_sample = two_sample
         self._opt_state = None
         # built lazily on the first step(), once fit_params is known, so
         # score_function=None can resolve against the actual parameter set
@@ -266,24 +283,44 @@ class IceFit:
 
         transform = self.param_transform or (lambda p: p)
         opt = self.optimizer
+        loss_kind = self.loss
+        two_sample = self.two_sample
+
+        def one_forward(medium, steps, key):
+            if forward == "fused":
+                from ..propagate.diff import propagate_expected_diff
+                return propagate_expected_diff(
+                    steps, medium, geo, spectra, key, cfg,
+                    n_iterations=max_iter, interpret=interpret,
+                    bwd_fraction=bwd_fraction)
+            res = propagate(steps, medium, geo, spectra, key, cfg,
+                            max_iterations=max_iter)
+            return res.hist
 
         def loss_fn(fit_params, medium, steps, key, target_hist):
             medium = medium._replace(**transform(fit_params))
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-            if forward == "fused":
-                from ..propagate.diff import propagate_expected_diff
-                hist = propagate_expected_diff(
-                    steps, medium, geo, spectra, key, cfg,
-                    n_iterations=max_iter, interpret=interpret,
-                    bwd_fraction=bwd_fraction)
+            hist = jax.lax.psum(one_forward(medium, steps, key), axis)
+            if loss_kind == "poisson":
+                w = 1.0 / (target_hist + 1.0)
+                scale = 1.0
             else:
-                res = propagate(steps, medium, geo, spectra, key, cfg,
-                                max_iterations=max_iter)
-                hist = res.hist
-            hist = jax.lax.psum(hist, axis)
-            # chi2-style normalized residual
-            scale = jnp.maximum(jnp.sum(target_hist), 1.0)
-            return jnp.sum((hist - target_hist) ** 2) / scale
+                w = 1.0
+                scale = jnp.maximum(jnp.sum(target_hist), 1.0)
+            r1 = hist - target_hist
+            monitor = jnp.sum(w * r1 * r1) / scale
+            if not two_sample:
+                return monitor
+            # independent second sample for the residual factor: grad of
+            # sum(w * stop_grad(r2) * r1) is unbiased for
+            # grad ||E hist - target||_w^2 (no Var(hist) penalty term)
+            key2 = jax.random.fold_in(key, 0x74776f)
+            hist2 = jax.lax.stop_gradient(
+                jax.lax.psum(one_forward(medium, steps, key2), axis))
+            surrogate = jnp.sum(w * jax.lax.stop_gradient(
+                hist2 - target_hist) * r1) * (2.0 / scale)
+            # value = monitor, gradient = grad(surrogate)
+            return surrogate + jax.lax.stop_gradient(monitor - surrogate)
 
         if opt is None:
             def shard_body(fit_params, medium, steps, key, target_hist):

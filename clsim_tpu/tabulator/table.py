@@ -265,8 +265,7 @@ def _make_tabulate_chunk(medium: MediumProperties, spectra: SpectrumTable,
         state = state._replace(in_flight=state.in_flight & ~died)
         return (state, remainder, idx_buf, w_buf)
 
-    @jax.jit
-    def chunk(steps, key, state, remainder, i0):
+    def run_chunk(steps, key, state, remainder, i0):
         K = chunk_iters
         n = steps.x.shape[0]
         idx_buf = jnp.zeros((K, max_substeps * n), jnp.int32)
@@ -278,7 +277,35 @@ def _make_tabulate_chunk(medium: MediumProperties, spectra: SpectrumTable,
                          | (state.photons_left > 0)).astype(jnp.int32))
         return state, remainder, idx_buf, w_buf, alive
 
-    return chunk
+    @jax.jit
+    def chunk_raw(steps, key, state, remainder, i0):
+        return run_chunk(steps, key, state, remainder, i0)
+
+    @jax.jit
+    def chunk_compact(steps, key, state, remainder, i0):
+        """Raw chunk + ON-DEVICE nonzero compaction of the deposit comb
+        (round-4 review item 8): the raw (bin, weight) buffer is
+        ~(1 - occupancy) zeros -- dead lanes, unused substeps, oob
+        photons -- and shipping it uncompacted is what made the
+        device->host link bind.  Returns the H densest entries plus the
+        true nonzero count; the host falls back to the raw chunk (same
+        inputs => identical stream) in the rare overflow case."""
+        n = steps.x.shape[0]
+        H = (chunk_iters * max_substeps * n) // compact_den
+        state, remainder, idx_buf, w_buf, alive = run_chunk(
+            steps, key, state, remainder, i0)
+        fw = w_buf.reshape(-1)
+        fi = idx_buf.reshape(-1)
+        nz = fw != 0.0
+        n_nz = jnp.sum(nz.astype(jnp.int32))
+        sel = jnp.nonzero(nz, size=H, fill_value=0)[0]
+        w_c = jnp.where(jnp.arange(H) < n_nz, fw[sel], 0.0)
+        i_c = fi[sel]
+        return state, remainder, i_c, w_c, n_nz, alive
+
+    compact_den = 4   # capacity = raw/4; overflow falls back to raw
+    chunk_compact.raw = chunk_raw
+    return chunk_compact
 
 
 def _tabulate_batch(chunk, steps: StepBatch, key, axes: SphericalAxes,
@@ -300,13 +327,25 @@ def _tabulate_batch(chunk, steps: StepBatch, key, axes: SphericalAxes,
     remainder = jnp.zeros(n, jnp.float32)
     i0 = 0
     for _ in range(65536 // chunk_iters):
-        state, remainder, idx_buf, w_buf, alive = chunk(
+        st2, rem2, i_c, w_c, n_nz, alive = chunk(
             steps, key, state, remainder, jnp.int32(i0))
+        if int(n_nz) > w_c.shape[0]:
+            # compaction capacity exceeded (dense comb): re-run the SAME
+            # chunk raw -- identical inputs give the identical stream
+            _, _, idx_buf, w_buf, _ = chunk.raw(
+                steps, key, state, remainder, jnp.int32(i0))
+            wn = np.asarray(w_buf, np.float64).ravel()
+            nzm = wn != 0.0
+            if nzm.any():
+                np.add.at(content, np.asarray(idx_buf).ravel()[nzm],
+                          wn[nzm])
+        else:
+            wn = np.asarray(w_c, np.float64)
+            nzm = wn != 0.0
+            if nzm.any():
+                np.add.at(content, np.asarray(i_c)[nzm], wn[nzm])
+        state, remainder = st2, rem2
         i0 += chunk_iters
-        wn = np.asarray(w_buf, np.float64).ravel()
-        nz = wn != 0.0
-        if nz.any():
-            np.add.at(content, np.asarray(idx_buf).ravel()[nz], wn[nz])
         if int(alive) == 0:
             break
     return jnp.asarray(content, jnp.float32)

@@ -171,10 +171,20 @@ def main():
     steps_j = StepBatch(*[jnp.asarray(f) for f in steps])
 
     # ---- synthetic target at TRUTH parameters, fused forward ------------
+    # Expectation matching: the target is the truth forward AVERAGED over
+    # n_target independent keys; each fit step draws a FRESH key pair and
+    # the two-sample loss gradient (IceFit(two_sample=True)) is unbiased
+    # for grad ||E[hist] - target||^2.  (Two designs that FAIL here, both
+    # measured: (a) fresh keys against a fixed target with the plain chi2
+    # adds a Var(hist) penalty that drags the fit away from truth; (b) a
+    # shared-stream CRN loss IS exactly zero at truth -- verified on this
+    # workload -- but the score-function estimator targets expectation
+    # gradients, not realized-stream gradients, so its fixed point is not
+    # the CRN minimum either.)
     @jax.jit
     def target_fwd(key):
         return propagate_expected_diff(
-            steps_j, medium, geo, spectra, key, cfg,
+            steps_j, medium, geo, spectra, jax.random.fold_in(key, 0), cfg,
             n_iterations=T, interpret=INTERPRET)
 
     t0 = time.perf_counter()
@@ -183,22 +193,25 @@ def main():
         h = target_fwd(jnp.asarray([7, 1000 + i], jnp.uint32))
         tgt = h if tgt is None else tgt + h
     target = tgt / n_target
-    print(f"target built ({n_target} avg) in {time.perf_counter()-t0:.1f}s, "
-          f"sum={sync(target):.1f}", flush=True)
+    print(f"target built ({n_target}-key average) in "
+          f"{time.perf_counter()-t0:.1f}s, sum={sync(target):.1f}",
+          flush=True)
 
     # ---- the fit --------------------------------------------------------
     def run_fit(score, steps_n, tag):
+        sched = optax.exponential_decay(lr, max(steps_n // 3, 1), 0.5)
         fit = IceFit(mesh, cfg, geo, spectra, forward="fused",
                      interpret=INTERPRET, score_function=score,
                      bwd_fraction=bwd_fraction, max_iterations=T,
-                     optimizer=optax.adam(lr), param_transform=transform)
+                     optimizer=optax.adam(sched), param_transform=transform,
+                     loss="poisson", two_sample=True)
         params = {k: jnp.asarray(v) for k, v in params0.items()}
         losses, traces, times = [], [], []
         t_start = time.perf_counter()
         for it in range(steps_n):
-            key = jnp.asarray([13, 5000 + it], jnp.uint32)
             t1 = time.perf_counter()
-            params, loss = fit.step(params, medium, steps_sharded, key,
+            key_it = jnp.asarray([13, 5000 + it], jnp.uint32)
+            params, loss = fit.step(params, medium, steps_sharded, key_it,
                                     target)
             params = {k: jnp.asarray(v) for k, v in params.items()}
             losses.append(float(loss))        # syncs
@@ -240,9 +253,11 @@ def main():
     np.savez(out_path, **out)
     print(f"saved {out_path}", flush=True)
 
-    # summary
-    b_fit = np.exp(pack(tr_s, "log_b")[-1])
-    a_fit = np.exp(pack(tr_s, "log_a")[-1])
+    # summary: Polyak average over the last 30% of the trace (suppresses
+    # the zero-drift gradient-noise walk of the weakly-constrained params)
+    tail = max(1, int(0.3 * len(tr_s)))
+    b_fit = np.exp(pack(tr_s, "log_b")[-tail:].mean(axis=0))
+    a_fit = np.exp(pack(tr_s, "log_a")[-tail:].mean(axis=0))
     print("rel-RMS b400: pert "
           f"{np.sqrt(np.mean((b_pert[lo:hi]/b_true[lo:hi]-1)**2)):.4f} -> "
           f"fit {np.sqrt(np.mean((b_fit/b_true[lo:hi]-1)**2)):.4f}",

@@ -46,6 +46,8 @@ SLOW_MODULES = {
 SLOW_TESTS = {
     # tests/test_parallel.py (8-device CPU-mesh shard_map compiles)
     "test_ice_fit_step_descends",
+    "test_ice_fit_optax_and_transform",
+    "test_ice_fit_two_sample_poisson",
     "test_sharded_matches_single_device_statistically",
     "test_sharded_propagate_conserves_counts",
     "test_sharded_fused_matches_engine_shared_stream",

@@ -125,6 +125,37 @@ def test_ice_fit_optax_and_transform(mesh):
     assert float(jnp.exp(params["log_a"][0])) < 0.013
 
 
+def test_ice_fit_two_sample_poisson(mesh):
+    """IceFit's expectation-matching options: poisson per-bin weighting +
+    the two-independent-sample gradient (unbiased for the expectation
+    residual, no Var(hist) penalty).  The parameter must move toward the
+    target value under a fresh key per step."""
+    import optax
+
+    geo = _one_dom_geometry(x=30.0, oversize=5.0)
+    spectra = _spectra()
+    cfg = PropagationConfig(n_slots=32, estimator="expected",
+                            soft_binning=True)
+    steps = shard_steps(_beam_steps(32 * 8, 8), mesh)
+
+    medium = make_homogeneous_ice(b400=0.02, a_dust400=0.01)
+    run = make_sharded_propagate(mesh, cfg)
+    target = run(steps, medium, geo, spectra,
+                 jnp.asarray([0, 77], jnp.uint32)).hist
+
+    fit = IceFit(mesh, cfg, geo, spectra, max_iterations=48,
+                 optimizer=optax.adam(0.05), loss="poisson",
+                 two_sample=True)
+    params = {"a_dust400": jnp.full(2, 0.014, jnp.float32)}
+    for it in range(4):
+        params, loss = fit.step(params, medium, steps,
+                                jnp.asarray([0, 100 + it], jnp.uint32),
+                                target)
+        params = jax.tree.map(jnp.asarray, params)
+    assert float(loss) >= 0.0
+    assert float(params["a_dust400"][0]) < 0.014
+
+
 def test_bootstrap_single_process_noop(monkeypatch):
     """initialize_distributed is a harmless no-op outside a cluster; the
     per-process step slice covers the global batch exactly once."""
