@@ -265,6 +265,8 @@ def _make_tabulate_chunk(medium: MediumProperties, spectra: SpectrumTable,
         state = state._replace(in_flight=state.in_flight & ~died)
         return (state, remainder, idx_buf, w_buf)
 
+    compact_den = 4   # compaction capacity = raw/4; overflow -> raw chunk
+
     def run_chunk(steps, key, state, remainder, i0):
         K = chunk_iters
         n = steps.x.shape[0]
@@ -303,7 +305,6 @@ def _make_tabulate_chunk(medium: MediumProperties, spectra: SpectrumTable,
         i_c = fi[sel]
         return state, remainder, i_c, w_c, n_nz, alive
 
-    compact_den = 4   # capacity = raw/4; overflow falls back to raw
     chunk_compact.raw = chunk_raw
     return chunk_compact
 

@@ -135,12 +135,7 @@ def main():
         if medium.anisotropy is not None else 0.0
     print(f"truth k1(mag_along) = {k1_true:.4f}", flush=True)
 
-    # perturbation: +-20% lognormal per layer inside the band; k1 +0.05
-    pr = np.random.default_rng(99)
-    b_pert = b_true.copy()
-    a_pert = a_true.copy()
-    b_pert[lo:hi] *= np.exp(0.2 * pr.standard_normal(hi - lo))
-    a_pert[lo:hi] *= np.exp(0.2 * pr.standard_normal(hi - lo))
+    # perturbation: +-20% lognormal per group inside the band; k1 +0.05
     k1_pert = k1_true + 0.05
 
     b_lo = jnp.asarray(b_true[:lo], jnp.float32)
@@ -149,22 +144,56 @@ def main():
     a_hi = jnp.asarray(a_true[hi:], jnp.float32)
     aniso_true = medium.anisotropy
 
+    # parameterization: per-GROUP log scale factors over the band
+    # (FIT_GROUPS contiguous groups; FIT_GROUPS=0 -> one per layer).
+    # Why groups: the per-step gradient SNR at this photon budget was
+    # MEASURED below 1 even for the global-b direction (scripts/
+    # probe_grad run, FIT.md), so a 141-parameter per-layer fit is
+    # information-starved regardless of estimator quality; grouped
+    # scales carry ~10x the per-parameter signal.
+    # FIT_MODE=absorption: per-layer a_dust400 recovery on the
+    # DETERMINISTIC shared-stream (CRN) loss -- the absorption gradient is
+    # exact reparameterized AD (no sampling-law dependence), so the fit
+    # descends a noise-free bowl whose zero is at truth (verified:
+    # loss(truth) == 0.0 exactly on this workload).  FIT_MODE=scattering
+    # (default): grouped b400/a_dust scales + k1 by expectation matching
+    # with the two-sample score-function gradient.
+    mode = os.environ.get("FIT_MODE", "scattering")
+    n_band = hi - lo
+    n_groups = int(os.environ.get("FIT_GROUPS", 0)) or n_band
+    gidx = np.minimum((np.arange(n_band) * n_groups) // n_band,
+                      n_groups - 1)
+    gidx_j = jnp.asarray(gidx)
+    b_band = jnp.asarray(b_true[lo:hi], jnp.float32)
+    a_band = jnp.asarray(a_true[lo:hi], jnp.float32)
+
+    fit_b = mode != "absorption"
+
     def transform(p):
-        out = {
-            "b400": jnp.concatenate([b_lo, jnp.exp(p["log_b"]), b_hi]),
-            "a_dust400": jnp.concatenate([a_lo, jnp.exp(p["log_a"]), a_hi]),
-        }
-        if aniso_true is not None:
-            out["anisotropy"] = aniso_true._replace(
-                mag_along=p["k1"].reshape(()))
+        sa = jnp.exp(p["log_sa"])[gidx_j]
+        out = {"a_dust400": jnp.concatenate([a_lo, a_band * sa, a_hi])}
+        if fit_b:
+            sb = jnp.exp(p["log_sb"])[gidx_j]
+            out["b400"] = jnp.concatenate([b_lo, b_band * sb, b_hi])
+            if aniso_true is not None:
+                out["anisotropy"] = aniso_true._replace(
+                    mag_along=p["k1"].reshape(()))
         return out
 
-    params0 = {
-        "log_b": jnp.asarray(np.log(b_pert[lo:hi]), jnp.float32),
-        "log_a": jnp.asarray(np.log(a_pert[lo:hi]), jnp.float32),
-    }
-    if aniso_true is not None:
-        params0["k1"] = jnp.asarray(k1_pert, jnp.float32)
+    # perturbation in group space: the truth scale factor is 1 per group
+    pr2 = np.random.default_rng(1234)
+    sb_pert = np.exp(0.2 * pr2.standard_normal(n_groups)) if fit_b \
+        else np.ones(n_groups)
+    sa_pert = np.exp(0.2 * pr2.standard_normal(n_groups))
+    params0 = {"log_sa": jnp.asarray(np.log(sa_pert), jnp.float32)}
+    if fit_b:
+        params0["log_sb"] = jnp.asarray(np.log(sb_pert), jnp.float32)
+        if aniso_true is not None:
+            params0["k1"] = jnp.asarray(k1_pert, jnp.float32)
+    b_pert = b_true.copy()
+    a_pert = a_true.copy()
+    b_pert[lo:hi] = b_true[lo:hi] * sb_pert[gidx]
+    a_pert[lo:hi] = a_true[lo:hi] * sa_pert[gidx]
 
     mesh = make_mesh()
     steps_sharded = shard_steps(steps, mesh)
@@ -187,15 +216,24 @@ def main():
             steps_j, medium, geo, spectra, jax.random.fold_in(key, 0), cfg,
             n_iterations=T, interpret=INTERPRET)
 
+    key_crn = jnp.asarray([13, 777], jnp.uint32)
     t0 = time.perf_counter()
-    tgt = None
-    for i in range(n_target):
-        h = target_fwd(jnp.asarray([7, 1000 + i], jnp.uint32))
-        tgt = h if tgt is None else tgt + h
-    target = tgt / n_target
-    print(f"target built ({n_target}-key average) in "
-          f"{time.perf_counter()-t0:.1f}s, sum={sync(target):.1f}",
-          flush=True)
+    if mode == "absorption":
+        # CRN: target on the SAME stream every fit step uses -> the loss
+        # is deterministic with its exact zero at truth
+        target = target_fwd(key_crn)
+        print(f"target built (CRN, shared stream) in "
+              f"{time.perf_counter()-t0:.1f}s, sum={sync(target):.1f}",
+              flush=True)
+    else:
+        tgt = None
+        for i in range(n_target):
+            h = target_fwd(jnp.asarray([7, 1000 + i], jnp.uint32))
+            tgt = h if tgt is None else tgt + h
+        target = tgt / n_target
+        print(f"target built ({n_target}-key average) in "
+              f"{time.perf_counter()-t0:.1f}s, sum={sync(target):.1f}",
+              flush=True)
 
     # ---- the fit --------------------------------------------------------
     def run_fit(score, steps_n, tag):
@@ -204,13 +242,15 @@ def main():
                      interpret=INTERPRET, score_function=score,
                      bwd_fraction=bwd_fraction, max_iterations=T,
                      optimizer=optax.adam(sched), param_transform=transform,
-                     loss="poisson", two_sample=True)
+                     loss="chi2",
+                     two_sample=(mode != "absorption"))
         params = {k: jnp.asarray(v) for k, v in params0.items()}
         losses, traces, times = [], [], []
         t_start = time.perf_counter()
         for it in range(steps_n):
             t1 = time.perf_counter()
-            key_it = jnp.asarray([13, 5000 + it], jnp.uint32)
+            key_it = key_crn if mode == "absorption" \
+                else jnp.asarray([13, 5000 + it], jnp.uint32)
             params, loss = fit.step(params, medium, steps_sharded, key_it,
                                     target)
             params = {k: jnp.asarray(v) for k, v in params.items()}
@@ -221,32 +261,44 @@ def main():
             if it % 10 == 0 or it == steps_n - 1:
                 k1v = float(params.get("k1", jnp.nan))
                 rms_b = float(np.sqrt(np.mean(
-                    (np.exp(traces[-1]["log_b"]) - b_true[lo:hi]) ** 2
-                    / b_true[lo:hi] ** 2)))
+                    (np.exp(traces[-1].get("log_sb", np.zeros(1)))
+                     - 1.0) ** 2)))
+                rms_a = float(np.sqrt(np.mean(
+                    (np.exp(traces[-1]["log_sa"]) - 1.0) ** 2)))
                 print(f"[{tag}] step {it:4d} loss {losses[-1]:.4f} "
-                      f"rel-RMS(b400) {rms_b:.4f} k1 {k1v:.4f} "
+                      f"rel-RMS(b scales) {rms_b:.4f} rel-RMS(a scales) "
+                      f"{rms_a:.4f} k1 {k1v:.4f} "
                       f"({times[-1]*1e3:.0f} ms)", flush=True)
         wall = time.perf_counter() - t_start
         return params, losses, traces, times, wall
 
-    params_s, loss_s, tr_s, times_s, wall_s = run_fit(True, n_steps, "score")
-    params_d, loss_d, tr_d, times_d, wall_d = run_fit(
-        False, n_steps_det, "detached")
+    params_s, loss_s, tr_s, times_s, wall_s = run_fit(
+        None if mode == "absorption" else True, n_steps, mode)
+    if mode == "absorption":
+        params_d, loss_d, tr_d, times_d, wall_d = (
+            params_s, loss_s, tr_s, times_s, wall_s)
+    else:
+        params_d, loss_d, tr_d, times_d, wall_d = run_fit(
+            False, n_steps_det, "detached")
 
     def pack(traces, key):
         return np.stack([t[key] for t in traces])
 
     out = dict(
-        lo=lo, hi=hi, n_slots=n_slots, T=T, lr=lr,
-        bwd_fraction=bwd_fraction, n_target=n_target,
+        mode=mode, lo=lo, hi=hi, n_slots=n_slots, T=T, lr=lr,
+        n_groups=n_groups, gidx=gidx, bwd_fraction=bwd_fraction,
+        n_target=n_target,
         b_true=b_true, a_true=a_true, k1_true=k1_true,
         b_pert=b_pert, a_pert=a_pert, k1_pert=k1_pert,
+        sb_pert=sb_pert, sa_pert=sa_pert,
         loss_score=np.asarray(loss_s), loss_detached=np.asarray(loss_d),
-        trace_log_b=pack(tr_s, "log_b"), trace_log_a=pack(tr_s, "log_a"),
-        det_trace_log_b=pack(tr_d, "log_b"),
-        det_trace_log_a=pack(tr_d, "log_a"),
+        trace_log_sa=pack(tr_s, "log_sa"),
+        det_trace_log_sa=pack(tr_d, "log_sa"),
         times_score=np.asarray(times_s), times_detached=np.asarray(times_d),
         wall_score=wall_s, wall_detached=wall_d)
+    if fit_b:
+        out["trace_log_sb"] = pack(tr_s, "log_sb")
+        out["det_trace_log_sb"] = pack(tr_d, "log_sb")
     if "k1" in params_s:
         out["trace_k1"] = pack(tr_s, "k1")
         out["det_trace_k1"] = pack(tr_d, "k1")
@@ -256,16 +308,28 @@ def main():
     # summary: Polyak average over the last 30% of the trace (suppresses
     # the zero-drift gradient-noise walk of the weakly-constrained params)
     tail = max(1, int(0.3 * len(tr_s)))
-    b_fit = np.exp(pack(tr_s, "log_b")[-tail:].mean(axis=0))
-    a_fit = np.exp(pack(tr_s, "log_a")[-tail:].mean(axis=0))
-    print("rel-RMS b400: pert "
-          f"{np.sqrt(np.mean((b_pert[lo:hi]/b_true[lo:hi]-1)**2)):.4f} -> "
-          f"fit {np.sqrt(np.mean((b_fit/b_true[lo:hi]-1)**2)):.4f}",
-          flush=True)
-    print("rel-RMS a_dust400: pert "
-          f"{np.sqrt(np.mean((a_pert[lo:hi]/a_true[lo:hi]-1)**2)):.4f} -> "
-          f"fit {np.sqrt(np.mean((a_fit/a_true[lo:hi]-1)**2)):.4f}",
-          flush=True)
+    sa_fit = np.exp(pack(tr_s, "log_sa")[-tail:].mean(axis=0))
+    sa_unc = np.exp(pack(tr_s, "log_sa")[-tail:]).std(axis=0)
+    if fit_b:
+        sb_fit = np.exp(pack(tr_s, "log_sb")[-tail:].mean(axis=0))
+        sb_unc = np.exp(pack(tr_s, "log_sb")[-tail:]).std(axis=0)
+        print("group  sb_pert -> sb_fit (truth 1.0)   sa_pert -> sa_fit")
+        for g in range(n_groups):
+            print(f"  [{g}] {sb_pert[g]:.3f} -> {sb_fit[g]:.3f}"
+                  f"+-{sb_unc[g]:.3f}    {sa_pert[g]:.3f} -> "
+                  f"{sa_fit[g]:.3f}+-{sa_unc[g]:.3f}")
+        print("rel-RMS b scales: pert "
+              f"{np.sqrt(np.mean((sb_pert-1)**2)):.4f} -> "
+              f"fit {np.sqrt(np.mean((sb_fit-1)**2)):.4f}", flush=True)
+    else:
+        worst = np.argsort(-np.abs(sa_pert - 1.0))[:8]
+        print("per-layer a_dust scales (8 largest perturbations):")
+        for g in worst:
+            print(f"  layer {lo+g:3d}: {sa_pert[g]:.3f} -> "
+                  f"{sa_fit[g]:.3f}+-{sa_unc[g]:.3f}  (truth 1.000)")
+    print("rel-RMS a scales: pert "
+          f"{np.sqrt(np.mean((sa_pert-1)**2)):.4f} -> "
+          f"fit {np.sqrt(np.mean((sa_fit-1)**2)):.4f}", flush=True)
 
 
 if __name__ == "__main__":
