@@ -167,29 +167,35 @@ def main():
     b_band = jnp.asarray(b_true[lo:hi], jnp.float32)
     a_band = jnp.asarray(a_true[lo:hi], jnp.float32)
 
-    fit_b = mode != "absorption"
+    fit_b = mode not in ("absorption", "k1")
+    fit_a = mode != "k1"
 
     def transform(p):
-        sa = jnp.exp(p["log_sa"])[gidx_j]
-        out = {"a_dust400": jnp.concatenate([a_lo, a_band * sa, a_hi])}
+        out = {}
+        if fit_a:
+            sa = jnp.exp(p["log_sa"])[gidx_j]
+            out["a_dust400"] = jnp.concatenate([a_lo, a_band * sa, a_hi])
         if fit_b:
             sb = jnp.exp(p["log_sb"])[gidx_j]
             out["b400"] = jnp.concatenate([b_lo, b_band * sb, b_hi])
-            if aniso_true is not None:
-                out["anisotropy"] = aniso_true._replace(
-                    mag_along=p["k1"].reshape(()))
+        if mode != "absorption" and aniso_true is not None:
+            out["anisotropy"] = aniso_true._replace(
+                mag_along=p["k1"].reshape(()))
         return out
 
     # perturbation in group space: the truth scale factor is 1 per group
     pr2 = np.random.default_rng(1234)
     sb_pert = np.exp(0.2 * pr2.standard_normal(n_groups)) if fit_b \
         else np.ones(n_groups)
-    sa_pert = np.exp(0.2 * pr2.standard_normal(n_groups))
-    params0 = {"log_sa": jnp.asarray(np.log(sa_pert), jnp.float32)}
+    sa_pert = np.exp(0.2 * pr2.standard_normal(n_groups)) if fit_a \
+        else np.ones(n_groups)
+    params0 = {}
+    if fit_a:
+        params0["log_sa"] = jnp.asarray(np.log(sa_pert), jnp.float32)
     if fit_b:
         params0["log_sb"] = jnp.asarray(np.log(sb_pert), jnp.float32)
-        if aniso_true is not None:
-            params0["k1"] = jnp.asarray(k1_pert, jnp.float32)
+    if mode != "absorption" and aniso_true is not None:
+        params0["k1"] = jnp.asarray(k1_pert, jnp.float32)
     b_pert = b_true.copy()
     a_pert = a_true.copy()
     b_pert[lo:hi] = b_true[lo:hi] * sb_pert[gidx]
@@ -264,7 +270,8 @@ def main():
                     (np.exp(traces[-1].get("log_sb", np.zeros(1)))
                      - 1.0) ** 2)))
                 rms_a = float(np.sqrt(np.mean(
-                    (np.exp(traces[-1]["log_sa"]) - 1.0) ** 2)))
+                    (np.exp(traces[-1].get("log_sa", np.zeros(1)))
+                     - 1.0) ** 2)))
                 print(f"[{tag}] step {it:4d} loss {losses[-1]:.4f} "
                       f"rel-RMS(b scales) {rms_b:.4f} rel-RMS(a scales) "
                       f"{rms_a:.4f} k1 {k1v:.4f} "
@@ -292,10 +299,11 @@ def main():
         b_pert=b_pert, a_pert=a_pert, k1_pert=k1_pert,
         sb_pert=sb_pert, sa_pert=sa_pert,
         loss_score=np.asarray(loss_s), loss_detached=np.asarray(loss_d),
-        trace_log_sa=pack(tr_s, "log_sa"),
-        det_trace_log_sa=pack(tr_d, "log_sa"),
         times_score=np.asarray(times_s), times_detached=np.asarray(times_d),
         wall_score=wall_s, wall_detached=wall_d)
+    if fit_a:
+        out["trace_log_sa"] = pack(tr_s, "log_sa")
+        out["det_trace_log_sa"] = pack(tr_d, "log_sa")
     if fit_b:
         out["trace_log_sb"] = pack(tr_s, "log_sb")
         out["det_trace_log_sb"] = pack(tr_d, "log_sb")
@@ -308,6 +316,14 @@ def main():
     # summary: Polyak average over the last 30% of the trace (suppresses
     # the zero-drift gradient-noise walk of the weakly-constrained params)
     tail = max(1, int(0.3 * len(tr_s)))
+    if mode == "k1":
+        k1_fit = pack(tr_s, "k1")[-tail:].mean()
+        k1_unc = pack(tr_s, "k1")[-tail:].std()
+        k1_det = pack(tr_d, "k1")[-tail:].mean()
+        print(f"k1: truth {k1_true:.4f}, perturbed {k1_pert:.4f}, "
+              f"score-fit {k1_fit:.4f}+-{k1_unc:.4f}, "
+              f"detached-fit {k1_det:.4f}", flush=True)
+        return
     sa_fit = np.exp(pack(tr_s, "log_sa")[-tail:].mean(axis=0))
     sa_unc = np.exp(pack(tr_s, "log_sa")[-tail:]).std(axis=0)
     if fit_b:
