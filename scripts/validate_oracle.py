@@ -77,8 +77,11 @@ def main():
         # (round-4 review item 4 -- the old single w2bar z had almost no
         # power against a broken weighted path)
         import dataclasses
+        # capacity must cover a worst-case slot (a beam aimed straight at
+        # a DOM can convert nearly every photon of the slot into a hit)
+        cap = pps + 8
         cfg = dataclasses.replace(cfg, save_photons=True,
-                                  photon_capacity_per_slot=64)
+                                  photon_capacity_per_slot=cap)
 
     steps_j = StepBatch(*[jnp.asarray(f) for f in steps])
     t0 = time.perf_counter()
@@ -92,8 +95,13 @@ def main():
     if biased:
         from clsim_tpu.hits.photons import (photon_batch_dom_index,
                                             records_to_photon_batch)
-        assert int(np.max(np.asarray(res.rec_count))) < 64, \
-            "record ring overflow: raise photon_capacity_per_slot"
+        # per-slot ring overflow check applies only to the engine's
+        # fixed-capacity rings; the fused records path returns ONE
+        # host-compacted row whose count is the total (no overflow)
+        if np.asarray(res.rec["time"]).shape[0] > 1:
+            _rcmax = int(np.max(np.asarray(res.rec_count)))
+            assert _rcmax < cap, \
+                f"record ring overflow ({_rcmax} >= {cap}): raise capacity"
         batch = records_to_photon_batch(
             {k: np.asarray(v) for k, v in res.rec.items()},
             np.asarray(res.rec_count), geo)
