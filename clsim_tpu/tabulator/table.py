@@ -265,7 +265,12 @@ def _make_tabulate_chunk(medium: MediumProperties, spectra: SpectrumTable,
         state = state._replace(in_flight=state.in_flight & ~died)
         return (state, remainder, idx_buf, w_buf)
 
-    compact_den = 4   # compaction capacity = raw/4; overflow -> raw chunk
+    # compaction capacity as a fraction of the raw buffer: the comb is
+    # ~55-60% occupied while lanes are alive (d_prop is usually near the
+    # segment cap), so a small capacity would overflow every early chunk
+    # and fall back to raw -- 2/3 covers the live phase and the drain
+    # tail compacts far below it
+    compact_num, compact_den = 2, 3
 
     def run_chunk(steps, key, state, remainder, i0):
         K = chunk_iters
@@ -293,7 +298,7 @@ def _make_tabulate_chunk(medium: MediumProperties, spectra: SpectrumTable,
         true nonzero count; the host falls back to the raw chunk (same
         inputs => identical stream) in the rare overflow case."""
         n = steps.x.shape[0]
-        H = (chunk_iters * max_substeps * n) // compact_den
+        H = (chunk_iters * max_substeps * n * compact_num) // compact_den
         state, remainder, idx_buf, w_buf, alive = run_chunk(
             steps, key, state, remainder, i0)
         fw = w_buf.reshape(-1)

@@ -9,7 +9,20 @@ slots -- LINK-BOUND, not compute-bound: the deposit stream is ~38 KB/photon
 (37-substep comb x ~30+ iterations x 8 B, zeros included) and this
 environment's device->host relay moves ~20 MB/s (measured directly).  On a
 standard PCIe/DMA TPU host (>= 16 GB/s) the same stream supports >= 4e5
-photons/s and the device-side propagation becomes the binding term.  The
+photons/s and the device-side propagation becomes the binding term.
+
+Round-5 on-device COMPACTION (round-4 review item 8): chunks now ship
+only the nonzero (bin, weight) entries (table._make_tabulate_chunk,
+capacity 2/3 of raw, raw fallback on overflow).  Measured: 5.0e2 ->
+6.3e2 photons/s (+26%) at 16384 slots x 8.  The bound is now measured,
+not estimated: while lanes are alive the comb is ~55-60% OCCUPIED
+(d_prop usually runs near the 35 m segment cap, filling most 1 m
+substeps), so ideal zero-dropping caps at ~1.7x on this relay and most
+of the stream is irreducible data; a raw/4 capacity (tried first)
+overflows every live-phase chunk and measures neutral.  Compaction
+cannot rescue this relay -- the contract remains the standard-host
+projection above, where the uncompacted stream already sustains
+>= 4e5 photons/s.  The
 reference's GPU tabulator instead atomically adds into a ~75M-bin global-
 memory table (propagation_kernel.c.cl:296-304) -- a mechanism TPUs lack by
 design; device-side scattered adds were measured 1000x slower than the
