@@ -109,3 +109,21 @@ def test_stats_records_loss_counters():
     d = st.as_dict()
     assert d["TotalNumHitsDropped"] == 3.0
     assert d["TotalNumPhotonsAbandoned"] == 2.0
+
+
+def test_seed_from_key_traced_and_host_agree():
+    """The host and traced branches of _seed_from_key must produce the
+    SAME seed for the same key (advisor round-4: the branches used
+    different mixing formulas, so jitted vs eager propagate_auto ran
+    different RNG streams), and the result must fit int32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from clsim_tpu.propagate.dispatch import _seed_from_key
+
+    for k in ([0xdeadbeef, 0xffffffff], [0, 1], [0x7fffffff, 0x80000000]):
+        key = jnp.asarray(k, jnp.uint32)
+        host = _seed_from_key(np.asarray(key))
+        traced = int(jax.jit(_seed_from_key)(key))
+        assert host == traced, (k, host, traced)
+        assert 0 <= host < 2 ** 31

@@ -816,3 +816,22 @@ def test_kernel_nonstopping_and_fixed_abs_detect(mod):
                                          uniforms)
     res, totals = _run_kernel(steps, medium, geo, spectra, cfg2, uniforms)
     _compare(acc_e, res, totals, geo, cfg2)
+
+
+def test_threefry_requires_partitionable():
+    """threefry_key must fail LOUDLY when jax_threefry_partitionable is
+    off (the in-kernel stream is bit-exact to the partitionable layout
+    only; a silent divergence would break the fit's shared-stream
+    contract)."""
+    medium, geo, spectra, cfg, steps, _ = _workload()
+    key = jnp.asarray([1, 2], jnp.uint32)
+    jax.config.update("jax_threefry_partitionable", False)
+    try:
+        with pytest.raises(RuntimeError, match="partitionable"):
+            FK.propagate_fused(
+                steps, medium, geo, spectra, seed=0, cfg=cfg,
+                iters_per_call=T, flush_every=1, queue_rows=32,
+                block_lanes=1024, max_calls=1, threefry_key=key,
+                interpret=True)
+    finally:
+        jax.config.update("jax_threefry_partitionable", True)
